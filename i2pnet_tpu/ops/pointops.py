@@ -1,0 +1,281 @@
+"""Point-cloud primitives, TPU-native.
+
+Covers the capability surface of the reference's pointnet2 CUDA extension
+(/root/reference/pointnet2/src/: sampling_gpu.cu, ball_query_gpu.cu,
+group_points_gpu.cu, interpolate_gpu.cu) and its python wrappers
+(/root/reference/pointnet_util.py, /root/reference/src/modules/point_utils.py)
+— re-designed for XLA:
+
+  * knn is a dense squared-distance matmul (MXU) + lax.top_k, matching the
+    reference's actual model path (ref pointnet_util.py:112-123 knn_point,
+    which the models use instead of ball query);
+  * FPS is an on-device lax.fori_loop starting deterministically at index 0,
+    matching the CUDA kernel (ref sampling_gpu.cu:112-117);
+  * gathers use take_along_axis (XLA gather), grads are handled by autodiff —
+    no hand-written atomicAdd backward needed;
+  * everything is static-shape; "variable counts" are expressed by masking.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def safe_norm(x: jnp.ndarray, axis: int = -1, keepdims: bool = False) -> jnp.ndarray:
+    """L2 norm with a zero (sub)gradient at x == 0.
+
+    jnp.linalg.norm's gradient is NaN at the origin, and every KNN group
+    contains its own center point (diff == 0), so a plain norm poisons
+    training. torch.norm (used by the reference, pointnet_util.py:210)
+    defines the subgradient at 0 as 0; this matches via the double-where
+    trick while keeping the forward value exact.
+    """
+    sumsq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    positive = sumsq > 0
+    return jnp.where(positive, jnp.sqrt(jnp.where(positive, sumsq, 1.0)), 0.0)
+
+
+def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise squared euclidean distance (B, N, M).
+
+    |s|^2 + |d|^2 - 2 s.d with the cross term on the MXU
+    (ref pointnet_util.py:36-57 square_distance).
+    """
+    # HIGHEST precision: TPU matmuls default to bf16 inputs, whose rounding
+    # breaks the |s|^2+|d|^2-2sd cancellation and flips KNN orderings.
+    cross = jnp.einsum(
+        "bnc,bmc->bnm",
+        src,
+        dst,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    s2 = jnp.sum(src * src, axis=-1)[:, :, None]
+    d2 = jnp.sum(dst * dst, axis=-1)[:, None, :]
+    return s2 + d2 - 2.0 * cross
+
+
+def knn_point(nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray) -> jnp.ndarray:
+    """Indices of the nsample nearest points in xyz for each query in new_xyz.
+
+    xyz: (B, N, C); new_xyz: (B, S, C) -> (B, S, nsample) int32.
+    (ref pointnet_util.py:112-123 knn_point; topk over squared distances.)
+    """
+    sqrdists = square_distance(new_xyz, xyz)
+    _, idx = jax.lax.top_k(-sqrdists, nsample)
+    return idx.astype(jnp.int32)
+
+
+def masked_knn_point(
+    nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """KNN where points with mask==0 are pushed to +1e10 distance.
+
+    mask: (B, N) in {0, 1}. (ref point_utils.py:19-32 mask_knn_point.)
+    """
+    sqrdists = square_distance(new_xyz, xyz)
+    mask = mask[:, None, :].astype(sqrdists.dtype)
+    sqrdists = sqrdists * mask + 1e10 * (1.0 - mask)
+    _, idx = jax.lax.top_k(-sqrdists, nsample)
+    return idx.astype(jnp.int32)
+
+
+def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather points (B, N, C) by indices (B, S) or (B, S, K) -> (B, S[, K], C).
+
+    (ref pointnet_util.py:60-78 index_points and point_utils.py:5-16
+    index_points_group — one batched XLA gather covers both.)
+    """
+    if idx.ndim == 2:
+        return jnp.take_along_axis(points, idx[..., None], axis=1)
+    if idx.ndim == 3:
+        B, S, K = idx.shape
+        flat = jnp.take_along_axis(points, idx.reshape(B, S * K)[..., None], axis=1)
+        return flat.reshape(B, S, K, points.shape[-1])
+    raise ValueError(f"idx must be rank 2 or 3, got {idx.ndim}")
+
+
+# Alias matching the reference's name for (B,N,K) gathers.
+group_points = index_points
+
+
+def farthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """Iterative farthest point sampling. xyz: (B, N, 3) -> (B, npoint) int32.
+
+    Deterministic: starts at index 0, exactly like the reference CUDA kernel
+    (ref pointnet2/src/sampling_gpu.cu:95-253; seed point at :112-117).
+    Runs as one on-device fori_loop; each step is a fused (B, N) distance
+    update + argmax on the VPU.
+    """
+    B, N, _ = xyz.shape
+
+    def body(i, state):
+        dist, farthest, idxs = state
+        idxs = jax.lax.dynamic_update_slice_in_dim(
+            idxs, farthest[:, None], i, axis=1
+        )
+        centroid = jnp.take_along_axis(xyz, farthest[:, None, None], axis=1)
+        d = jnp.sum((xyz - centroid) ** 2, axis=-1)
+        dist = jnp.minimum(dist, d)
+        farthest = jnp.argmax(dist, axis=-1).astype(jnp.int32)
+        return dist, farthest, idxs
+
+    init = (
+        jnp.full((B, N), jnp.inf, dtype=xyz.dtype),
+        jnp.zeros((B,), dtype=jnp.int32),
+        jnp.zeros((B, npoint), dtype=jnp.int32),
+    )
+    _, _, idxs = jax.lax.fori_loop(0, npoint, body, init)
+    return idxs
+
+
+def ball_query(
+    radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray
+) -> jnp.ndarray:
+    """First nsample points within radius, first-hit padding.
+
+    Matches the reference semantics (ref pointnet2/src/ball_query_gpu.cu:10-46
+    and pointnet_util.py:126-162 query_ball_point): candidates in ascending
+    index order, queries with no hit fall back to index 0's behavior (the
+    sorted-N sentinel reduces to the first in-range index, padded).
+
+    Static-shape XLA formulation: sentinel N for out-of-range, sort, slice.
+    Capability-parity op — the shipped models use knn, so this is not on the
+    hot path.
+    """
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    sqrdists = square_distance(new_xyz, xyz)
+    arange = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, S, N))
+    cand = jnp.where(sqrdists <= radius * radius, arange, N)
+    cand = jnp.sort(cand, axis=-1)[:, :, :nsample]
+    first = cand[:, :, 0:1]
+    cand = jnp.where(cand == N, first, cand)
+    # A query with zero hits yields all-N -> clamp to 0 (reference leaves
+    # uninitialized memory in that case; clamping is strictly safer).
+    return jnp.minimum(cand, N - 1).astype(jnp.int32)
+
+
+def three_nn(
+    unknown: jnp.ndarray, known: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """3 nearest neighbors of each unknown point among known points.
+
+    unknown: (B, N, 3); known: (B, M, 3) -> (dists (B, N, 3), idx (B, N, 3)).
+    Distances are euclidean: the reference wrapper sqrt's the CUDA kernel's
+    squared distances (ref pointnet2/pointnet2_utils.py:107-129 ThreeNN).
+    """
+    sqrdists = square_distance(unknown, known)
+    neg, idx = jax.lax.top_k(-sqrdists, 3)
+    return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
+
+
+def three_interpolate(
+    points: jnp.ndarray, idx: jnp.ndarray, weight: jnp.ndarray
+) -> jnp.ndarray:
+    """Weighted interpolation of features.
+
+    points: (B, M, C); idx: (B, N, 3); weight: (B, N, 3) -> (B, N, C).
+    (ref pointnet2/src/interpolate_gpu.cu three_interpolate + wrapper
+    pointnet2_utils.py:140-184; grads come free from autodiff.)
+    """
+    gathered = index_points(points, idx)  # (B, N, 3, C)
+    return jnp.sum(gathered * weight[..., None], axis=2)
+
+
+def interpolation_weights(dists: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Inverse-distance weights from three_nn squared distances (B, N, 3)."""
+    recip = 1.0 / (dists + eps)
+    return recip / jnp.sum(recip, axis=-1, keepdims=True)
+
+
+def grouping(
+    feature: jnp.ndarray,
+    K: int,
+    src_xyz: jnp.ndarray,
+    q_xyz: jnp.ndarray,
+    raw_src_xyz: jnp.ndarray | None = None,
+    raw_q_xyz: jnp.ndarray | None = None,
+):
+    """KNN-group features around query points.
+
+    feature: (B, N, C); src_xyz: (B, N, 3); q_xyz: (B, S, 3).
+    Returns (grouped_xyz (B,S,K,3), xyz_diff (B,S,K,3),
+             grouped_feature (B,S,K,C), idx (B,S,K), grouped_raw_xyz or None).
+
+    When raw coordinates are given, neighbor indices come from src/q xyz but
+    the geometric diff is computed in raw coordinates
+    (ref src/modules/point_utils.py:68-111 grouping with raw_feat_point).
+    """
+    idx = knn_point(K, src_xyz, q_xyz)
+    grouped_xyz = index_points(src_xyz, idx)
+    grouped_raw = None
+    if raw_src_xyz is not None:
+        grouped_raw = index_points(raw_src_xyz, idx)
+        xyz_diff = grouped_raw - raw_q_xyz[:, :, None, :]
+    else:
+        xyz_diff = grouped_xyz - q_xyz[:, :, None, :]
+    grouped_feature = index_points(feature, idx)
+    return grouped_xyz, xyz_diff, grouped_feature, idx, grouped_raw
+
+
+def sample_and_group(
+    npoint: int,
+    nsample: int,
+    xyz: jnp.ndarray,
+    points: jnp.ndarray | None,
+    sample_idx: jnp.ndarray | None = None,
+    raw_xyz: jnp.ndarray | None = None,
+    feat_mode: str | None = None,
+):
+    """FPS-downsample then KNN-group, building per-group geometric features.
+
+    xyz: (B, N, 3); points: (B, N, D) or None; optional raw_xyz (B, N, 3)
+    carries a second coordinate frame whose diffs feed the features
+    (ref pointnet_util.py:165-233 sample_and_group).
+
+    feat_mode:
+      None        -> cat[xyz_diff(3), grouped_points(D)]
+      'dim10feat' -> cat[xyz_diff(3), center(3), grouped_xyz(3), dist(1)]
+      'dist'      -> dist(1)
+
+    Returns (new_xyz (B,S,3), new_points (B,S,K,F), fps_idx (B,S),
+             new_raw_xyz (B,S,3) or None).
+    """
+    if sample_idx is not None:
+        fps_idx = sample_idx
+    else:
+        fps_idx = farthest_point_sample(xyz, npoint)
+
+    new_xyz = index_points(xyz, fps_idx)
+    new_raw_xyz = index_points(raw_xyz, fps_idx) if raw_xyz is not None else None
+
+    idx = knn_point(nsample, xyz, new_xyz)
+
+    if raw_xyz is not None:
+        grouped_xyz = index_points(raw_xyz, idx)
+        center = new_raw_xyz
+    else:
+        grouped_xyz = index_points(xyz, idx)
+        center = new_xyz
+    grouped_xyz_norm = grouped_xyz - center[:, :, None, :]
+
+    if feat_mode == "dim10feat":
+        center_rep = jnp.broadcast_to(center[:, :, None, :], grouped_xyz.shape)
+        dist = safe_norm(grouped_xyz_norm, axis=-1, keepdims=True)
+        new_points = jnp.concatenate(
+            [grouped_xyz_norm, center_rep, grouped_xyz, dist], axis=-1
+        )
+    elif feat_mode == "dist":
+        new_points = safe_norm(grouped_xyz_norm, axis=-1, keepdims=True)
+    else:
+        if points is not None:
+            grouped_points = index_points(points, idx)
+            new_points = jnp.concatenate([grouped_xyz_norm, grouped_points], axis=-1)
+        else:
+            new_points = grouped_xyz_norm
+
+    return new_xyz, new_points, fps_idx, new_raw_xyz

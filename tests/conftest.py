@@ -1,0 +1,24 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Multi-chip sharding logic is validated on a virtual CPU mesh
+(xla_force_host_platform_device_count=8); real-TPU benchmarking happens in
+bench.py, not in the test suite.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+# Persistent compile cache: this box has one CPU core and ~0.4 s per op
+# compile; caching across test runs keeps the suite usable.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_i2pnet")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
