@@ -1,0 +1,1 @@
+from i2pnet_tpu.models.i2pnet import I2PNet, set_id_grid, change_intrinsic

@@ -1,0 +1,109 @@
+"""Basic NN building blocks (flax.linen), channels-last.
+
+Covers /root/reference/src/modules/basicConv.py: the reference's 1x1
+Conv2d/Conv1d "FC" wrappers (with their permute churn) collapse to a single
+Dense over the trailing channel axis — one fused MXU matmul regardless of
+how many leading axes (B, N, K) there are. createCNNs (3x3 conv + BN +
+LeakyReLU(0.1) + MaxPool) becomes an NHWC conv stack.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# torch BatchNorm defaults: eps 1e-5, running-stat update factor 0.1
+# (flax momentum = 1 - torch momentum).
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+
+def batch_norm(train: bool, name: Optional[str] = None) -> nn.BatchNorm:
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=BN_MOMENTUM,
+        epsilon=BN_EPS,
+        name=name,
+    )
+
+
+class PointwiseConv(nn.Module):
+    """Dense (+BN +activation) over the channel axis.
+
+    Equivalent to ref basicConv.py:23-60 Conv2d([1,1]) and :63-85 Conv1d(k=1)
+    without the layout permutes. activation: 'leaky' (LeakyReLU 0.1, the
+    reference default), 'relu', or None.
+    """
+
+    features: int
+    use_bn: bool = False
+    activation: Optional[str] = "leaky"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Dense(self.features)(x)
+        if self.use_bn:
+            x = batch_norm(train)(x)
+        if self.activation == "leaky":
+            x = nn.leaky_relu(x, negative_slope=0.1)
+        elif self.activation == "relu":
+            x = nn.relu(x)
+        return x
+
+
+class PointwiseMLP(nn.Module):
+    """Stack of PointwiseConv layers (a reference mlp_convs ModuleList)."""
+
+    features: Sequence[int]
+    use_bn: bool = True
+    activation: Optional[str] = "leaky"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for f in self.features:
+            x = PointwiseConv(f, use_bn=self.use_bn, activation=self.activation)(
+                x, train
+            )
+        return x
+
+
+class RGBEncoderStage(nn.Module):
+    """One createCNNs stage (ref basicConv.py:6-20).
+
+    Per block: 3x3 conv (stride 1, pad 1) -> BN -> LeakyReLU(0.1) ->
+    3x3 max-pool (stride s, pad 1). NHWC.
+    """
+
+    channels: Sequence[int]
+    strides: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for ch, s in zip(self.channels, self.strides):
+            x = nn.Conv(ch, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))(x)
+            x = batch_norm(train)(x)
+            x = nn.leaky_relu(x, negative_slope=0.1)
+            x = nn.max_pool(
+                x, (3, 3), strides=(s, s), padding=((1, 1), (1, 1))
+            )
+        return x
+
+
+class RGBEncoder(nn.Module):
+    """Three-stage RGB pyramid (ref modellearn.py:56-64 / :190-194).
+
+    Returns the stage outputs (RF1, RF2, RF3); overall stride is the product
+    of all pool strides (x32 for the shipped config).
+    """
+
+    stages: Tuple[Tuple[int, Tuple[int, ...], Tuple[int, ...]], ...]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        outs = []
+        for _, channels, strides in self.stages:
+            x = RGBEncoderStage(channels, strides)(x, train)
+            outs.append(x)
+        return tuple(outs)

@@ -16,9 +16,21 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize registers the TPU tunnel and the env var alone does
+# NOT deselect it — this config update is what actually forces CPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: this box has one CPU core and ~0.4 s per op
 # compile; caching across test runs keeps the suite usable.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_i2pnet")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--run-slow",
+        action="store_true",
+        default=False,
+        help="run slow full-config compile tests",
+    )

@@ -1,0 +1,76 @@
+"""Train-step tests: convergence on a synthetic task and multichip dry run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from i2pnet_tpu.config import I2PNetConfig
+from i2pnet_tpu.models import I2PNet
+from i2pnet_tpu.train import create_train_state, make_train_step
+
+
+def _synthetic_batch(cfg, B=2, h=64, w=128, seed=0):
+    rng = np.random.default_rng(seed)
+    rgb = jnp.asarray(rng.normal(size=(B, h, w, 3)).astype(np.float32))
+    lidar = jnp.asarray(
+        rng.uniform(-10, 10, size=(B, cfg.lidar_in_points, 3)).astype(np.float32)
+    )
+    lidar = lidar.at[..., 2].add(20.0)
+    intrinsic = jnp.tile(
+        jnp.asarray([[[64.0, 0, 64], [0, 64.0, 32], [0, 0, 1]]], jnp.float32),
+        (B, 1, 1),
+    )
+    angle = 0.1
+    q_gt = jnp.tile(
+        jnp.asarray([[np.cos(angle / 2), 0.0, np.sin(angle / 2), 0.0]], jnp.float32),
+        (B, 1),
+    )
+    t_gt = jnp.tile(jnp.asarray([[0.5, -0.2, 0.1]], jnp.float32), (B, 1))
+    return {
+        "rgb": rgb,
+        "lidar": lidar,
+        "intrinsic": intrinsic,
+        "decalib_q_gt": q_gt,
+        "decalib_t_gt": t_gt,
+    }
+
+
+def test_train_step_decreases_loss():
+    cfg = I2PNetConfig.tiny()
+    model = I2PNet(cfg)
+    batch = _synthetic_batch(cfg)
+    variables = model.init(
+        jax.random.key(0), batch["rgb"], batch["lidar"], batch["intrinsic"],
+        train=False,
+    )
+    state = create_train_state(model, variables, lr=1e-3, steps_per_epoch=100)
+    step = jax.jit(make_train_step(model, cfg), donate_argnums=(0,))
+
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__
+
+    assert len(jax.devices()) >= 8  # conftest forces 8 virtual CPU devices
+    __graft_entry__.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(
+    "not config.getoption('--run-slow', default=False)",
+    reason="full-config compile is minutes on this 1-core box; driver "
+    "compile-checks entry() on TPU anyway (run with --run-slow)",
+)
+def test_entry_compiles():
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    out3, out4 = jax.jit(fn)(*args)
+    assert out3.shape == (1, 7) and out4.shape == (1, 7)
+    assert bool(jnp.isfinite(out3).all())
