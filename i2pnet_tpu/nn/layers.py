@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # torch BatchNorm defaults: eps 1e-5, running-stat update factor 0.1
@@ -29,6 +30,28 @@ def batch_norm(train: bool, name: Optional[str] = None) -> nn.BatchNorm:
     )
 
 
+class BatchStatsNorm(nn.Module):
+    """BatchNorm with track_running_stats=False: normalize by the CURRENT
+    batch statistics in both train and eval, learned scale/bias, no state.
+
+    The projection path uses this everywhere (ref PPBackbone_center.py:30
+    `BatchNorm2d(track_running_stats=not use_bn_input)` with
+    use_bn_input=True, config_proj_lidarcenter.py:8).
+    """
+
+    epsilon: float = BN_EPS
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.var(x, axis=axes, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        return y * scale + bias
+
+
 class PointwiseConv(nn.Module):
     """Dense (+BN +activation) over the channel axis.
 
@@ -40,12 +63,13 @@ class PointwiseConv(nn.Module):
     features: int
     use_bn: bool = False
     activation: Optional[str] = "leaky"
+    bn_stats: bool = True  # False -> BatchStatsNorm (track_running_stats off)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.Dense(self.features)(x)
         if self.use_bn:
-            x = batch_norm(train)(x)
+            x = batch_norm(train)(x) if self.bn_stats else BatchStatsNorm()(x)
         if self.activation == "leaky":
             x = nn.leaky_relu(x, negative_slope=0.1)
         elif self.activation == "relu":
@@ -59,13 +83,17 @@ class PointwiseMLP(nn.Module):
     features: Sequence[int]
     use_bn: bool = True
     activation: Optional[str] = "leaky"
+    bn_stats: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         for f in self.features:
-            x = PointwiseConv(f, use_bn=self.use_bn, activation=self.activation)(
-                x, train
-            )
+            x = PointwiseConv(
+                f,
+                use_bn=self.use_bn,
+                activation=self.activation,
+                bn_stats=self.bn_stats,
+            )(x, train)
         return x
 
 

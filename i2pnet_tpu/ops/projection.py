@@ -1,0 +1,243 @@
+"""Range-image (spherical projection) ops, TPU-native.
+
+Covers the reference's projectPN primitives:
+  * spherical_project == project_seq/project (ref src/projectPN/utils.py:
+    111-251): scatter a raw cloud into a (H, W) range image, nearest point
+    wins per cell. The reference sorts by descending range and relies on a
+    per-batch python loop + last-write-wins scatter; here the winner per
+    cell is computed with order-independent segment_min + one gather, so it
+    jits, batches, and runs deterministically on TPU.
+  * window_neighbor_select == the fused_conv_select_k CUDA kernel
+    (ref src/projectPN/fused_conv_select/fused_conv_go.cu:11-264): for each
+    query cell, scan a kH x kW window on a (possibly strided) second range
+    image, reject invalid (all-zero) pixels and pixels beyond `distance`,
+    take the K nearest by 3D distance. FLAG_SHIFT == cylindrical wrap in W;
+    FLAG_COPY == replicate the nearest when fewer than K found.
+    Vectorized: window gather + masked top_k (window <= 135 taps).
+  * grid helpers == get_idx_cuda / get_stride_idx_cuda / gather_torch /
+    check_valid (ref utils.py:8-60, 106-108).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_INVALID_DIST = 1e10
+
+
+def check_valid(xyz: jnp.ndarray) -> jnp.ndarray:
+    """1.0 where any coordinate is nonzero (ref utils.py:106-108)."""
+    return jnp.any(xyz != 0, axis=-1, keepdims=True).astype(jnp.float32)
+
+
+def grid_indices(B: int, H: int, W: int) -> jnp.ndarray:
+    """(B, H*W, 2) int32 (h, w) coords, row-major (ref utils.py:8-15)."""
+    h = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    w = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    idx = jnp.stack([h, w], axis=-1).reshape(1, H * W, 2)
+    return jnp.broadcast_to(idx, (B, H * W, 2))
+
+
+def strided_grid_indices(
+    B: int, out_h: int, out_w: int, stride_h: int, stride_w: int
+) -> jnp.ndarray:
+    """(B, out_h*out_w, 2) coords of the strided grid in the fine frame
+    (ref utils.py:28-33)."""
+    h = jax.lax.broadcasted_iota(jnp.int32, (out_h, out_w), 0) * stride_h
+    w = jax.lax.broadcasted_iota(jnp.int32, (out_h, out_w), 1) * stride_w
+    idx = jnp.stack([h, w], axis=-1).reshape(1, out_h * out_w, 2)
+    return jnp.broadcast_to(idx, (B, out_h * out_w, 2))
+
+
+def gather_grid(
+    feature: jnp.ndarray, h_idx: jnp.ndarray, w_idx: jnp.ndarray
+) -> jnp.ndarray:
+    """Gather (B, H, W, C) by per-batch (h, w) index arrays of any shape
+    (ref utils.py:36-60 gather_torch, one flattened XLA gather)."""
+    B, H, W, C = feature.shape
+    flat = feature.reshape(B, H * W, C)
+    lin = (h_idx * W + w_idx).reshape(B, -1)
+    out = jnp.take_along_axis(flat, lin[..., None], axis=1)
+    return out.reshape(h_idx.shape + (C,))
+
+
+def strided_downsample(
+    grid: jnp.ndarray, out_h: int, out_w: int, stride_h: int, stride_w: int
+) -> jnp.ndarray:
+    """Select every (stride_h, stride_w)-th cell (ref get_sample_idx +
+    gather; a plain strided slice under XLA)."""
+    return grid[:, : out_h * stride_h : stride_h, : out_w * stride_w : stride_w]
+
+
+def spherical_project(
+    xyz: jnp.ndarray,
+    features: Sequence[jnp.ndarray],
+    H: int,
+    W: int,
+    fup: float = 2.0,
+    fdown: float = -24.8,
+    use_rank: bool = True,
+) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """Project a raw cloud into a spherical range image.
+
+    xyz: (B, N, 3); features: list of (B, N, Di). Zero-padded points (all
+    three coords 0) never win a cell. Returns (xyz_proj (B,H,W,3),
+    [feat_proj (B,H,W,Di)]). Row/col mapping matches ref utils.py:126-155:
+    col from azimuth, row from elevation (top -> down), clamped.
+
+    use_rank=True: nearest point wins per cell (ref project_seq's
+    descending-range sort + last-write scatter, utils.py:158-177).
+    use_rank=False: last point in input order wins (the shipped proj config
+    sets cfg.rank=False, config_proj_lidarcenter.py:25, so the reference
+    scatters in raw input order). Both are expressed order-independently
+    (segment_min / segment_max) so they jit and run deterministically.
+    """
+    B, N, _ = xyz.shape
+    az_res = (2.0 * jnp.pi) / W
+    v_res = (fup - fdown) * jnp.pi / 180.0 / (H - 1)
+    v_offset = -(fdown * jnp.pi / 180.0) / v_res
+
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    r = jnp.sqrt(jnp.sum(xyz * xyz, axis=-1))
+    valid = r > 0.0
+
+    col = jnp.floor((jnp.pi - jnp.arctan2(y, x)) / az_res).astype(jnp.int32)
+    beta = jnp.arcsin(jnp.where(valid, z / jnp.where(valid, r, 1.0), 0.0))
+    row = H - jnp.floor(beta / v_res + v_offset).astype(jnp.int32)
+    row = jnp.clip(row, 0, H - 1)
+    col = jnp.clip(col, 0, W - 1)
+
+    # one flat segment id per (batch, cell); invalid points to a trash cell
+    cell = row * W + col
+    num_cells = H * W
+    batch_offset = jnp.arange(B, dtype=jnp.int32)[:, None] * num_cells
+    seg = jnp.where(valid, cell + batch_offset, B * num_cells).reshape(-1)
+
+    point_idx = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[None, :], (B, N)
+    ).reshape(-1)
+    if use_rank:
+        # winner per cell: min range, ties broken by lowest point index —
+        # deterministic and order-independent (the reference's descending-
+        # range sort + last-write scatter leaves ties unspecified)
+        r_flat = jnp.where(valid, r, jnp.inf).reshape(-1)
+        min_r = jax.ops.segment_min(
+            r_flat, seg, num_segments=B * num_cells + 1
+        )
+        is_winner = (r_flat <= min_r[seg]) & (r_flat < jnp.inf)
+        cand_idx = jnp.where(is_winner, point_idx, N)
+        winner_idx = jax.ops.segment_min(
+            cand_idx, seg, num_segments=B * num_cells + 1
+        )[: B * num_cells].reshape(B, num_cells)
+    else:
+        # last write in input order wins == max point index per cell
+        cand_idx = jnp.where(valid.reshape(-1), point_idx, -1)
+        winner_last = jax.ops.segment_max(
+            cand_idx, seg, num_segments=B * num_cells + 1
+        )[: B * num_cells].reshape(B, num_cells)
+        winner_idx = jnp.where(winner_last >= 0, winner_last, N)
+
+    has_winner = (winner_idx < N)[..., None]
+    safe_idx = jnp.minimum(winner_idx, N - 1)
+
+    def scatter(values: jnp.ndarray) -> jnp.ndarray:
+        picked = jnp.take_along_axis(values, safe_idx[..., None], axis=1)
+        picked = jnp.where(has_winner, picked, 0.0)
+        return picked.reshape(B, H, W, values.shape[-1])
+
+    xyz_proj = scatter(xyz)
+    feat_projs = [scatter(f) for f in features]
+    return xyz_proj, feat_projs
+
+
+def window_neighbor_select(
+    xyz1: jnp.ndarray,
+    xyz2: jnp.ndarray,
+    idx_hw: jnp.ndarray,
+    kernel_size: Tuple[int, int],
+    K: int,
+    stride: Tuple[int, int] = (1, 1),
+    distance: float = 10.0,
+    shift: bool = True,
+    copy: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Windowed K-nearest neighbor select on range images.
+
+    xyz1: (B, H, W, 3) query grid; xyz2: (B, h2, w2, 3) search grid;
+    idx_hw: (B, N, 2) query coords into xyz1. Window centers at
+    (h // stride_h, w // stride_w) on xyz2. Returns
+    (h_idx (B,N,K), w_idx (B,N,K), valid_mask (B,N,K,1) float).
+
+    Faithful to ref fused_conv_go.cu:11-238 (incl. the FLAG_COPY edge where
+    mask is 1 for all K whenever the center is valid) but vectorized:
+    static window gather + masked lax.top_k instead of per-thread selection
+    sort. shift == FLAG_SHIFT (cylindrical W wrap, H clipped);
+    copy == FLAG_COPY (pad missing neighbors with the nearest).
+    """
+    B, H, W, _ = xyz1.shape
+    h2, w2 = xyz2.shape[1], xyz2.shape[2]
+    kh, kw = kernel_size
+    khw = kh * kw
+    N = idx_hw.shape[1]
+
+    center = gather_grid(xyz1, idx_hw[..., 0], idx_hw[..., 1])  # (B,N,3)
+    center_valid = jnp.sum(center * center, axis=-1) > 1e-10  # (B,N)
+
+    base_h = idx_hw[..., 0] // stride[0]
+    base_w = idx_hw[..., 1] // stride[1]
+    dh = jax.lax.broadcasted_iota(jnp.int32, (kh, kw), 0).reshape(-1) - kh // 2
+    dw = jax.lax.broadcasted_iota(jnp.int32, (kh, kw), 1).reshape(-1) - kw // 2
+
+    hh = base_h[..., None] + dh  # (B,N,khw)
+    ww = base_w[..., None] + dw
+    h_in = (hh >= 0) & (hh < h2)
+    if shift:
+        ww = jnp.mod(ww, w2)
+        w_in = jnp.ones_like(h_in)
+    else:
+        w_in = (ww >= 0) & (ww < w2)
+    hc = jnp.clip(hh, 0, h2 - 1)
+    wc = jnp.clip(ww, 0, w2 - 1)
+
+    q = gather_grid(xyz2, hc, wc)  # (B,N,khw,3)
+    q_valid = jnp.sum(q * q, axis=-1) > 1e-10
+    d = jnp.maximum(
+        jnp.sum((center[:, :, None, :] - q) ** 2, axis=-1), 1e-10
+    )
+    valid = h_in & w_in & q_valid & (d <= distance * distance)
+    d_masked = jnp.where(valid, d, _INVALID_DIST)
+
+    if K > khw:
+        # K larger than the window: pad with invalid slots, like the CUDA
+        # kernel's 1e10-initialized scratch beyond kernel_total
+        pad = ((0, 0), (0, 0), (0, K - khw))
+        d_masked = jnp.pad(d_masked, pad, constant_values=_INVALID_DIST)
+        hc = jnp.pad(hc, pad)
+        wc = jnp.pad(wc, pad)
+
+    neg_d, args = jax.lax.top_k(-d_masked, K)  # ties -> lowest window index
+    d_sel = -neg_d
+    h_sel = jnp.take_along_axis(hc, args, axis=-1)
+    w_sel = jnp.take_along_axis(wc, args, axis=-1)
+    mask = d_sel < _INVALID_DIST
+
+    if copy:
+        # pad missing slots with the nearest hit; mask is 1 for every K slot
+        # as long as the center is valid (ref fused_conv_go.cu:211-222). If
+        # no hit exists at all the kernel copies the zero-initialized (0, 0)
+        # scratch entries — reproduce that too.
+        any_hit = mask[..., :1]
+        nearest_h = jnp.where(any_hit, h_sel[..., :1], 0)
+        nearest_w = jnp.where(any_hit, w_sel[..., :1], 0)
+        h_sel = jnp.where(mask, h_sel, nearest_h)
+        w_sel = jnp.where(mask, w_sel, nearest_w)
+        mask = jnp.ones_like(mask)
+
+    cv = center_valid[..., None]
+    mask = mask & cv
+    h_sel = jnp.where(mask, h_sel, 0)
+    w_sel = jnp.where(mask, w_sel, 0)
+    return h_sel, w_sel, mask[..., None].astype(jnp.float32)

@@ -83,6 +83,70 @@ def make_train_step(model, cfg: I2PNetConfig, img_size: Optional[Tuple[int, int]
     return train_step
 
 
+def make_train_step_proj(model, cfg):
+    """Train step for the projection-aware model (I2PNetProj).
+
+    batch additionally requires raw_xyz (B,N,3); masks are not used in the
+    proj path (ref train20v2learn_wandb_proj.py drops the mask branches).
+    """
+
+    def train_step(state, batch, rng):
+        def loss_fn(params):
+            out, new_model_state = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["rgb"],
+                batch["lidar"],
+                batch["raw_xyz"],
+                batch["intrinsic"],
+                lidar_feature=batch.get("lidar_feats"),
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            loss, loss_q, loss_x = registration_loss(
+                out["out3"],
+                out["out4"],
+                batch["decalib_q_gt"],
+                batch["decalib_t_gt"],
+                out["sx"],
+                out["sq"],
+                l1_trans=cfg.l1_trans_loss,
+            )
+            metrics = {
+                "loss": loss,
+                "loss_q": loss_q,
+                "loss_x": loss_x,
+                "sx": out["sx"].reshape(()),
+                "sq": out["sq"].reshape(()),
+            }
+            return loss, (new_model_state, metrics)
+
+        grads, (new_model_state, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(
+            grads=grads, batch_stats=new_model_state["batch_stats"]
+        )
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step_proj(model, cfg):
+    def eval_step(state, batch):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["rgb"],
+            batch["lidar"],
+            batch["raw_xyz"],
+            batch["intrinsic"],
+            lidar_feature=batch.get("lidar_feats"),
+            train=False,
+        )
+
+    return eval_step
+
+
 def make_eval_step(model, cfg: I2PNetConfig):
     """Returns eval_step(state, batch) -> out dict (pose predictions)."""
 

@@ -8,6 +8,10 @@ bench.py, not in the test suite.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Silence XLA:CPU AOT loader warnings about the remote-compile service's
+# LLVM tuning flags (+prefer-no-gather/scatter); they are not real machine
+# features and execution is unaffected.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
