@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Evaluation CLI (ref /root/reference/evaluation_proj.py, evaluation_cmr.py,
+evaluation.py).
+
+Loads best-model checkpoints (cascade when multiple --model_dir given),
+runs the test protocol, writes info_test/log_test.txt, prediction.txt and
+metrics npz; --analyze prints recall stats from the npz.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="kd_corr_nolidar",
+                   choices=["kitti", "kd_cmr_snr", "nus_cmr_snr",
+                            "kd_corr_nolidar", "nus_corr_nolidar"])
+    p.add_argument("--network", default="i2pnet_proj",
+                   choices=["i2pnet", "i2pnet_proj", "i2pnet_proj_iter"])
+    p.add_argument("--root_path", default="/dataset")
+    p.add_argument("--model_dir", nargs="+", required=True,
+                   help="trainer log dirs; several => cascade")
+    p.add_argument("--best", default="model_rotation_best",
+                   help="best-snapshot name, or 'latest' for the newest "
+                        "epoch checkpoint's params")
+    p.add_argument("--log_dir", default="info_test")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tag", default="")
+    p.add_argument("--test_rt", default=None,
+                   help="CSV of fixed test decalibrations (rx ry rz tx ty tz)")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--analyze", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from i2pnet_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+    import jax
+
+    import train as train_cli
+    from i2pnet_tpu.data.pipeline import BatchLoader
+    from i2pnet_tpu.eval import Evaluator, recall_analysis
+    from i2pnet_tpu.train.checkpoint import CheckpointManager
+    from i2pnet_tpu.utils.seeding import set_seed
+
+    set_seed(args.seed)
+    build_args = argparse.Namespace(**vars(args), max_epoch=0)
+    build_args.network = args.network
+    model, cfg, proj, _, _ = train_cli.build(build_args)
+
+    # test split dataset
+    ds_args = dict(mode="test", seed=args.seed)
+    if args.tiny:
+        ds_args.update(img_H=64, img_W=128)
+    from i2pnet_tpu.data import KittiLargeRangeDataset, KittiOdometryCMRDataset
+
+    if args.dataset == "kd_corr_nolidar":
+        if args.tiny:
+            ds_args.update(sample_point=2048)
+        test_ds = KittiLargeRangeDataset(args.root_path, **ds_args)
+    elif args.dataset == "kd_cmr_snr":
+        if args.tiny:
+            ds_args.update(sample_point=cfg.lidar_in_points)
+        test_ds = KittiOdometryCMRDataset(args.root_path, **ds_args)
+        if test_ds.test_RT is None:
+            # fixed decalibration table (ref cmr_test.bash 10-seed protocol):
+            # load a CSV if given, else generate deterministically per seed
+            if args.test_rt:
+                import pandas as pd
+
+                test_ds.test_RT = pd.read_csv(args.test_rt).to_numpy()[:, :6]
+            else:
+                from i2pnet_tpu.data.preprocess import generate_test_rt
+
+                test_ds.test_RT = generate_test_rt(len(test_ds), seed=args.seed)
+    else:
+        raise NotImplementedError(f"eval protocol for {args.dataset}")
+
+    # load per-stage params from best snapshots
+    params_list = []
+    batch_stats_list = []
+    for mdir in args.model_dir:
+        ckpt = CheckpointManager(mdir)
+        # abstract tree from a fresh init of the same model
+        sample = test_ds[0]
+        import jax.numpy as jnp
+        import numpy as np
+
+        rgb = jnp.asarray(sample["rgb"])[None]
+        lidar = jnp.asarray(sample["lidar"])[None]
+        intr = jnp.asarray(sample["init_intrinsic"])[None]
+        raw = jnp.asarray(sample["raw_point_xyz"])[None]
+        if proj:
+            variables = model.init(jax.random.key(0), rgb, lidar, raw, intr, train=False)
+        else:
+            variables = model.init(jax.random.key(0), rgb, lidar, intr, train=False)
+        if args.best == "latest":
+            from i2pnet_tpu.train.state import create_train_state
+
+            abstract = create_train_state(model, variables)
+            state, _ = ckpt.restore(abstract)
+            params, bstats = state.params, state.batch_stats
+        else:
+            restored = ckpt.restore_best(
+                args.best,
+                {
+                    "params": variables["params"],
+                    "batch_stats": variables.get("batch_stats", {}),
+                },
+            )
+            params, bstats = restored["params"], restored["batch_stats"]
+        params_list.append(params)
+        batch_stats_list.append(bstats)
+
+    loader = BatchLoader(test_ds, args.batch_size, shuffle=False, drop_last=False)
+    evaluator = Evaluator(
+        model, cfg, params_list, batch_stats_list,
+        proj=proj, log_dir=args.log_dir, tag=args.tag,
+    )
+    summary = evaluator.validate(loader)
+    print("== evaluation summary ==")
+    for k, v in summary.items():
+        print(f"  {k}: {v}")
+
+    if args.analyze:
+        import glob
+
+        npzs = sorted(glob.glob(os.path.join(args.log_dir, "metrics_*.npz")))
+        if npzs:
+            print("== recall analysis ==")
+            for k, v in recall_analysis(npzs[-1]).items():
+                print(f"  {k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

@@ -43,7 +43,9 @@ def collate(samples: Sequence[dict], device_only: bool = False) -> Dict[str, np.
         if k not in samples[0]:
             continue
         v0 = samples[0][k]
-        if isinstance(v0, np.ndarray) or np.isscalar(v0):
+        if isinstance(v0, str):
+            out[k] = [s[k] for s in samples]
+        elif isinstance(v0, np.ndarray) or np.isscalar(v0):
             out[k] = np.stack([np.asarray(s[k]) for s in samples])
         else:
             out[k] = [s[k] for s in samples]

@@ -1,0 +1,2 @@
+from i2pnet_tpu.eval.evaluator import Evaluator
+from i2pnet_tpu.eval.analysis import recall_analysis, parse_prediction_file

@@ -1,0 +1,174 @@
+"""Evaluation harness (ref /root/reference/evaluation_proj.py Evaluator,
+evaluation.py, evaluation_cmr.py).
+
+Per-batch synchronized timing (mean_FPS / mean_time), RTE/RRE + per-axis
+calibration errors on the decalib matrices, section-framed prediction.txt
+rows (init/pred/gt extrinsics, 9 decimals — re-parseable by
+analysis.parse_prediction_file), metrics npz for offline recall analysis,
+and the small-range cascade protocol (re-warp the cloud by each stage's
+prediction and compose quaternions, ref evaluation_cmr.py:330-377).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from i2pnet_tpu import metrics as M
+from i2pnet_tpu.data.pipeline import BatchLoader, to_model_batch
+from i2pnet_tpu.ops import quaternion as Q
+
+SECTION = "§"  # section-sign framing (ref evaluation_proj.py:145-167)
+
+
+class Evaluator:
+    def __init__(
+        self,
+        model,
+        cfg,
+        params_list: Sequence,  # one params pytree per cascade stage
+        batch_stats_list: Optional[Sequence] = None,
+        proj: bool = False,
+        log_dir: str = "info_test",
+        tag: str = "",
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.params_list = list(params_list)
+        self.batch_stats_list = (
+            list(batch_stats_list)
+            if batch_stats_list is not None
+            else [{}] * len(self.params_list)
+        )
+        self.proj = proj
+        self.log_dir = log_dir
+        self.tag = tag
+        os.makedirs(log_dir, exist_ok=True)
+
+        def forward(params, batch_stats, rgb, lidar, raw_xyz, intrinsic, feats):
+            variables = {"params": params, "batch_stats": batch_stats}
+            if proj:
+                out = self.model.apply(
+                    variables, rgb, lidar, raw_xyz, intrinsic,
+                    lidar_feature=feats, train=False,
+                )
+            else:
+                out = self.model.apply(
+                    variables, rgb, lidar, intrinsic,
+                    lidar_feature=feats, raw_xyz=raw_xyz, train=False,
+                )
+            return out["out3"], out["out4"]
+
+        self._forward = jax.jit(forward)
+
+        # cascade re-warp: compose prediction into the cloud for the next
+        # stage (ref evaluation_cmr.py:330-346)
+        def rewarp(lidar, out3):
+            return Q.warp_points(lidar, out3[:, :4], out3[:, 4:])
+
+        self._rewarp = jax.jit(rewarp)
+
+    def validate(self, loader: BatchLoader, save_metrics: bool = True) -> Dict:
+        ev = M.RteRreEval()
+        axis_errs: List = []
+        batch_times: List[float] = []
+        pred_lines: List[str] = []
+        msee_all: List[np.ndarray] = []
+
+        for batch in loader:
+            mb = to_model_batch(
+                {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+            )
+            rgb = jnp.asarray(mb["rgb"])
+            lidar = jnp.asarray(mb["lidar"])
+            raw_xyz = jnp.asarray(mb.get("raw_xyz", mb["lidar"]))
+            intrinsic = jnp.asarray(mb["intrinsic"])
+            feats = jnp.asarray(mb["lidar_feats"]) if "lidar_feats" in mb else None
+
+            t0 = time.perf_counter()
+            out3 = None
+            q_acc = t_acc = None
+            cur_lidar = lidar
+            for params, bstats in zip(self.params_list, self.batch_stats_list):
+                out3_s, out4_s = self._forward(
+                    params, bstats, rgb, cur_lidar, raw_xyz, intrinsic, feats
+                )
+                if q_acc is None:
+                    q_acc, t_acc = out3_s[:, :4], out3_s[:, 4:]
+                else:
+                    q_acc, t_acc = Q.compose_pose(
+                        out3_s[:, :4], out3_s[:, 4:], q_acc, t_acc
+                    )
+                if len(self.params_list) > 1:
+                    cur_lidar = self._rewarp(lidar, jnp.concatenate([q_acc, t_acc], 1))
+            out3 = jnp.concatenate([q_acc, t_acc], axis=1)
+            out3_np = np.asarray(jax.block_until_ready(out3))
+            batch_times.append(time.perf_counter() - t0)
+
+            q_gt = np.asarray(batch["decalib_real_gt"])
+            t_gt = np.asarray(batch["decalib_dual_gt"])
+            init_E = np.asarray(batch["init_extrinsic"])
+            pred_E, gt_E, pred_raw, gt_raw = M.get_extrinsic(
+                out3_np, q_gt, t_gt, init_E, out_raw=True
+            )
+            ev.add_batch(pred_E, gt_E)
+            axis_errs.append(M.calibration_error_batch(pred_E, gt_E))
+            gt_se3 = M.extrinsic_to_se3(gt_raw)
+            msee_all.append(M.eval_msee(out3_np, gt_se3))
+
+            for b in range(out3_np.shape[0]):
+                path_info = (
+                    batch["path_info"][b] if "path_info" in batch else str(b)
+                )
+                rows = [f"{SECTION} {path_info}"]
+                for name, mat in (
+                    ("init", init_E[b]),
+                    ("pred", pred_E[b]),
+                    ("gt", gt_E[b]),
+                ):
+                    vals = " ".join("%.9f" % v for v in np.asarray(mat).reshape(-1))
+                    rows.append(f"{name} {vals}")
+                pred_lines.append("\n".join(rows))
+
+        rte_mean, rte_std, rre_mean, rre_std = ev.eval_seq()
+        axis = np.concatenate([np.stack(a, -1) for a in axis_errs], 0).mean(0)
+        mean_time = float(np.mean(batch_times[1:])) if len(batch_times) > 1 else float(
+            np.mean(batch_times)
+        )
+        bsz = loader.batch_size
+        summary = {
+            "rte_mean": rte_mean,
+            "rte_std": rte_std,
+            "rre_mean": rre_mean,
+            "rre_std": rre_std,
+            "roll_deg": axis[0],
+            "pitch_deg": axis[1],
+            "yaw_deg": axis[2],
+            "x_m": axis[3],
+            "y_m": axis[4],
+            "z_m": axis[5],
+            "msee": float(np.concatenate(msee_all).mean()),
+            "mean_time_s": mean_time,
+            "mean_fps": bsz / mean_time if mean_time > 0 else float("nan"),
+            "count": ev.all_count,
+        }
+
+        ts = time.strftime("%Y%m%d_%H%M%S")
+        with open(
+            os.path.join(self.log_dir, f"log_test{self.tag}.txt"), "a"
+        ) as f:
+            f.write(
+                " ".join(f"{k}={v}" for k, v in summary.items()) + "\n"
+            )
+        with open(
+            os.path.join(self.log_dir, f"prediction{self.tag}.txt"), "w"
+        ) as f:
+            f.write("\n".join(pred_lines) + "\n")
+        if save_metrics:
+            ev.save_metric(os.path.join(self.log_dir, f"metrics_{ts}.npz"))
+        return summary

@@ -1,0 +1,178 @@
+"""End-to-end harness tests: Trainer (+checkpoint/resume) and Evaluator on
+synthetic KITTI-CMR data with the tiny config."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+CALIB = (
+    "P2: 64.0 0.0 64.0 0.0 0.0 64.0 32.0 0.0 0.0 0.0 1.0 0.0\n"
+    "Tr: 1.0 0.0 0.0 0.0 0.0 1.0 0.0 0.0 0.0 0.0 1.0 0.0\n"
+)
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("harness")
+    rng = np.random.default_rng(0)
+    for seq in (0, 3):
+        seq_dir = root / "kitti_processed_CMRNet" / "sequences" / ("%02d" % seq)
+        (seq_dir / "local_maps").mkdir(parents=True)
+        (seq_dir / "image_2_npy").mkdir(parents=True)
+        (seq_dir / "calib.txt").write_text(CALIB)
+        for fi in range(4):
+            pc = rng.uniform(-20, 20, size=(3, 600)).astype(np.float32)
+            with h5py.File(seq_dir / "local_maps" / ("%06d.h5" % fi), "w") as hf:
+                hf["PC"] = np.vstack([pc, np.ones((1, 600), np.float32)])
+                hf["intensity"] = pc[:1]
+            np.save(
+                seq_dir / "image_2_npy" / ("%06d.npy" % fi),
+                rng.integers(0, 255, size=(178, 128, 3), dtype=np.uint8),
+            )
+    return str(root)
+
+
+def _make_datasets(root, cfg):
+    from i2pnet_tpu.data import KittiOdometryCMRDataset
+
+    train = KittiOdometryCMRDataset(
+        root, mode="train", img_H=64, img_W=128,
+        sample_point=cfg.lidar_in_points, seed=0,
+    )
+    valid = KittiOdometryCMRDataset(
+        root, mode="test", img_H=64, img_W=128,
+        sample_point=cfg.lidar_in_points, seed=0,
+        test_rt=np.tile(
+            np.array([[0.05, 0.02, -0.03, 0.3, -0.2, 0.1]], np.float32), (4, 1)
+        ),
+    )
+    return train, valid
+
+
+def test_trainer_end_to_end(synth_root, tmp_path):
+    from i2pnet_tpu.config import I2PNetConfig
+    from i2pnet_tpu.models import I2PNet
+    from i2pnet_tpu.train.trainer import Trainer
+
+    cfg = I2PNetConfig.tiny()
+    model = I2PNet(cfg)
+    train_ds, valid_ds = _make_datasets(synth_root, cfg)
+    log_dir = str(tmp_path / "run")
+
+    trainer = Trainer(
+        model, cfg, train_ds, valid_ds, log_dir=log_dir,
+        batch_size=2, epochs=2, seed=0, save_rate=1,
+    )
+    trainer.train()
+
+    # artifacts
+    assert os.path.exists(os.path.join(log_dir, "config.json"))
+    assert os.path.exists(os.path.join(log_dir, "metrics.jsonl"))
+    assert os.path.exists(os.path.join(log_dir, "log.txt"))
+    assert os.path.exists(os.path.join(log_dir, "log_rotate.txt"))
+    assert trainer.ckpt.latest_step() == 1
+    assert os.path.isdir(os.path.join(log_dir, "best", "model_rotation_best"))
+
+    # resume: continues from epoch 2 without config mismatch
+    trainer2 = Trainer(
+        model, cfg, train_ds, valid_ds, log_dir=log_dir,
+        batch_size=2, epochs=3, seed=0, save_rate=1, resume=True,
+    )
+    assert trainer2.start_epoch == 2
+    trainer2.train()
+    assert trainer2.ckpt.latest_step() == 2
+
+    # config-mismatch guard (ref train20v2learn_wandb.py:127-137)
+    with pytest.raises(ValueError):
+        Trainer(
+            model, cfg, train_ds, valid_ds, log_dir=log_dir,
+            batch_size=4, epochs=3, seed=0, resume=True,
+        )
+
+
+def test_evaluator_end_to_end(synth_root, tmp_path):
+    import jax
+
+    from i2pnet_tpu.config import I2PNetConfig
+    from i2pnet_tpu.data.pipeline import BatchLoader
+    from i2pnet_tpu.eval import Evaluator, recall_analysis
+    from i2pnet_tpu.eval.analysis import (
+        aggregate_seeds,
+        parse_prediction_file,
+        prediction_file_metrics,
+    )
+    from i2pnet_tpu.models import I2PNet
+
+    cfg = I2PNetConfig.tiny()
+    model = I2PNet(cfg)
+    _, valid_ds = _make_datasets(synth_root, cfg)
+    s = valid_ds[0]
+    import jax.numpy as jnp
+
+    variables = model.init(
+        jax.random.key(0),
+        jnp.asarray(s["rgb"])[None],
+        jnp.asarray(s["lidar"])[None],
+        jnp.asarray(s["init_intrinsic"])[None],
+        train=False,
+    )
+
+    log_dir = str(tmp_path / "eval")
+    evaluator = Evaluator(
+        model, cfg, [variables["params"]],
+        [variables.get("batch_stats", {})], log_dir=log_dir,
+    )
+    loader = BatchLoader(valid_ds, 2, shuffle=False, drop_last=False)
+    summary = evaluator.validate(loader)
+    assert summary["count"] == 4
+    assert np.isfinite(summary["rre_mean"])
+    assert np.isfinite(summary["msee"])
+    assert summary["mean_fps"] > 0
+
+    pred_path = os.path.join(log_dir, "prediction.txt")
+    mats = parse_prediction_file(pred_path)
+    assert mats["pred"].shape == (4, 3, 4)
+    pm = prediction_file_metrics(pred_path)
+    np.testing.assert_allclose(pm["rre_mean"], summary["rre_mean"], rtol=1e-5)
+    agg = aggregate_seeds(os.path.join(log_dir, "prediction*.txt"))
+    assert agg["seeds"] == 1
+
+    import glob
+
+    npz = sorted(glob.glob(os.path.join(log_dir, "metrics_*.npz")))[-1]
+    ra = recall_analysis(npz)
+    assert ra["count"] == 4
+
+
+def test_evaluator_cascade(synth_root, tmp_path):
+    """Two-stage cascade composes predictions (ref evaluation_cmr.py:330-377)."""
+    import jax
+    import jax.numpy as jnp
+
+    from i2pnet_tpu.config import I2PNetConfig
+    from i2pnet_tpu.data.pipeline import BatchLoader
+    from i2pnet_tpu.eval import Evaluator
+    from i2pnet_tpu.models import I2PNet
+
+    cfg = I2PNetConfig.tiny()
+    model = I2PNet(cfg)
+    _, valid_ds = _make_datasets(synth_root, cfg)
+    s = valid_ds[0]
+    variables = model.init(
+        jax.random.key(0),
+        jnp.asarray(s["rgb"])[None],
+        jnp.asarray(s["lidar"])[None],
+        jnp.asarray(s["init_intrinsic"])[None],
+        train=False,
+    )
+    p = variables["params"]
+    bs = variables.get("batch_stats", {})
+    evaluator = Evaluator(
+        model, cfg, [p, p], [bs, bs], log_dir=str(tmp_path / "cascade")
+    )
+    loader = BatchLoader(valid_ds, 2, shuffle=False, drop_last=False)
+    summary = evaluator.validate(loader)
+    assert summary["count"] == 4
+    assert np.isfinite(summary["rre_mean"])

@@ -1,0 +1,205 @@
+"""Numeric parity vs the reference PyTorch model.
+
+Builds the ACTUAL reference RegNet_v2 (/root/reference/src/modellearn.py) on
+CPU — with pure-torch stubs standing in for its CUDA extensions and a
+torchvision shim — random-initializes it, converts the state_dict with
+tools/convert_torch_checkpoint.py, and compares forward outputs of the two
+frameworks on identical inputs.
+
+This validates: weight-layout conversion, FPS/KNN parity, cost-volume math,
+pose-head math, quaternion composition — the full forward graph.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+
+
+def _install_stubs():
+    """Pure-torch stand-ins for the reference's CUDA ops + torchvision."""
+    if "pointnet2" in sys.modules:
+        return
+
+    tv = types.ModuleType("torchvision")
+    tv.models = types.ModuleType("torchvision.models")
+    tv.transforms = types.ModuleType("torchvision.transforms")
+
+    class _ColorJitter:  # reference's augment path, unused in forward
+        def __init__(self, *a, **k):
+            pass
+
+        @staticmethod
+        def get_params(*a, **k):
+            return None
+
+        def __call__(self, img):
+            return img
+
+    tv.transforms.ColorJitter = _ColorJitter
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tv.models
+    sys.modules["torchvision.transforms"] = tv.transforms
+
+    pn2 = types.ModuleType("pointnet2")
+    pn2_utils = types.ModuleType("pointnet2.pointnet2_utils")
+
+    class FurthestPointSampling:
+        @staticmethod
+        def forward(ctx, xyz, npoint):
+            # seed index 0, exactly like sampling_gpu.cu:112-117
+            B, N, _ = xyz.shape
+            idxs = torch.zeros(B, npoint, dtype=torch.long)
+            dist = torch.full((B, N), float("inf"))
+            farthest = torch.zeros(B, dtype=torch.long)
+            batch = torch.arange(B)
+            for i in range(npoint):
+                idxs[:, i] = farthest
+                centroid = xyz[batch, farthest][:, None, :]
+                d = ((xyz - centroid) ** 2).sum(-1)
+                dist = torch.minimum(dist, d)
+                farthest = dist.argmax(-1)
+            return idxs.int()
+
+    def grouping_operation(features, idx):
+        # features (B,C,N), idx (B,np,K) -> (B,C,np,K)
+        B, C, N = features.shape
+        _, npnt, K = idx.shape
+        flat = idx.reshape(B, -1).long()
+        out = torch.gather(
+            features, 2, flat.unsqueeze(1).expand(B, C, npnt * K)
+        )
+        return out.reshape(B, C, npnt, K)
+
+    pn2_utils.FurthestPointSampling = FurthestPointSampling
+    pn2_utils.grouping_operation = grouping_operation
+    pn2.pointnet2_utils = pn2_utils
+    sys.modules["pointnet2"] = pn2
+    sys.modules["pointnet2.pointnet2_utils"] = pn2_utils
+
+    # reference quaternion utils call .cuda() on CPU tensors, and the proj
+    # config instantiates a cuda-synchronizing Timings at import time
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.cuda.synchronize = lambda *a, **k: None
+
+
+def _ref_tiny_cfg():
+    """Reference-format config matching I2PNetConfig.tiny()."""
+    sys.path.insert(0, REF)
+    _install_stubs()
+    from src.modules.MainModules import CostVolume, PoseHead
+
+    class RefTiny:
+        rgb_encoder_channels = [
+            (3, [8, 8], [2, 2]),
+            (8, [8, 16], [2, 2]),
+            (16, [16, 32], [1, 2]),
+        ]
+        lidar_downsample_rate = [2, 2, 2, 2]
+        lidar_in_points = 512
+        lidar_feature_size = 7
+        featmode = "dim10feat"
+        raw_feat_point = True
+        lidar_group_samples = [8, 8, 8, 8, 8]
+        lidar_encoder_mlps = [[8, 16], [16, 16], [16, 32], [32, 32], [16, 16]]
+        backward_fc = False
+        cost_volume_mlps = [[16, 16], [16, 16]]
+        cost_volume_nsamples = [4, [-1, 8]]
+        cost_volume_corr_func = CostVolume.CorrFunc.ELEMENTWISE_PRODUCT
+        backward_validation = [True, False]
+        max_cost = False
+        setupconv_mlps = [[[16], [16]], [[16], [16]]]
+        setupconv_nsamples = [4, 4]
+        flow_predictor_mlps = [[16, 16], [16, 16], [16, 16]]
+        pose_head_mlps = [[[], []], [[], []]]
+        head_hidden_dim = 32
+        rotation_quat_head_dim = 4
+        transition_vec_head_dim = 3
+        head_dropout_rate = 0.5
+        head_corr_func = PoseHead.CorrFunc.CONCAT
+        head_pos_embedding = False
+        split_dp = False
+        max_head = False
+        use_projection_mask = False
+        layer_mask = [False, True]
+        projection_mask_mlps = [[128, 64], [128, 64]]
+        mask_sigmoid = False
+        one_head_mask = False
+        ground_truth_projection_mask = False
+        ground_truth_mask_layer = [False, True]
+        ab_delay = False
+        mask_delay = False
+        mask_delay_step = 10
+        sq_init = -2.5
+        sx_init = 0.0
+        l1_trans_loss = True
+        pointwise_reproject_loss = False
+        focal_mask_loss = True
+        focal_gamma = 2
+
+    return RefTiny
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_forward_parity_with_reference():
+    import jax
+    import jax.numpy as jnp
+
+    from i2pnet_tpu.config import I2PNetConfig
+    from i2pnet_tpu.models import I2PNet
+    from tools.convert_torch_checkpoint import convert_free_point
+
+    ref_cfg = _ref_tiny_cfg()
+    from src.modellearn import RegNet_v2
+
+    torch.manual_seed(0)
+    ref_model = RegNet_v2(cfg=ref_cfg)
+    ref_model.eval()
+
+    rng = np.random.default_rng(0)
+    B, N, H, W = 2, 512, 64, 128
+    rgb = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+    lidar = rng.uniform(-5, 5, size=(B, N, 3)).astype(np.float32)
+    lidar[..., 2] += 12.0
+    intrinsic = np.tile(
+        np.array([[[64.0, 0, 64], [0, 64.0, 32], [0, 0, 1]]], np.float32),
+        (B, 1, 1),
+    )
+
+    with torch.no_grad():
+        out = ref_model(
+            torch.from_numpy(rgb).permute(0, 3, 1, 2),
+            torch.from_numpy(lidar),
+            None,
+            torch.from_numpy(intrinsic),
+            None,
+            cfg=ref_cfg,
+            lidar_img_raw=torch.from_numpy(lidar),
+        )
+    ref_out3 = out[0].numpy()
+    ref_out4 = out[1].numpy()
+
+    # convert weights and run the flax model
+    sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
+    variables = convert_free_point(sd)
+    cfg = I2PNetConfig.tiny()
+    model = I2PNet(cfg)
+    got = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(rgb),
+        jnp.asarray(lidar),
+        jnp.asarray(intrinsic),
+        train=False,
+    )
+    got_out3 = np.asarray(got["out3"])
+    got_out4 = np.asarray(got["out4"])
+
+    np.testing.assert_allclose(got_out4, ref_out4, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(got_out3, ref_out3, atol=2e-4, rtol=1e-3)
+    # learned loss weights round-trip
+    np.testing.assert_allclose(np.asarray(got["sq"]), sd["sq"], atol=1e-7)

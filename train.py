@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Training CLI (ref /root/reference/train20v2learn_wandb.py:24-51 FLAGS and
+train20v2learn_wandb_proj.py).
+
+Examples:
+  python train.py --dataset kd_cmr_snr --network i2pnet --log_dir log/cmr
+  python train.py --dataset kd_corr_nolidar --network i2pnet_proj \
+      --log_dir log/proj --batch_size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="kd_cmr_snr",
+                   choices=["kitti", "kd_cmr_snr", "nus_cmr_snr",
+                            "kd_corr_nolidar", "nus_corr_nolidar"])
+    p.add_argument("--network", default="i2pnet",
+                   choices=["i2pnet", "i2pnet_proj", "i2pnet_proj_iter"])
+    p.add_argument("--root_path", default="/dataset")
+    p.add_argument("--log_dir", default="log")
+    p.add_argument("--max_epoch", type=int, default=200)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--save_rate", type=int, default=20)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--clip", type=float, default=-1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny config (smoke testing)")
+    return p.parse_args(argv)
+
+
+def build(args):
+    from i2pnet_tpu.config import I2PNetConfig, I2PNetProjConfig
+    from i2pnet_tpu.models import I2PNet, I2PNetProj
+
+    proj = args.network.startswith("i2pnet_proj")
+    if proj:
+        cfg = I2PNetProjConfig.tiny() if args.tiny else I2PNetProjConfig()
+        if args.network == "i2pnet_proj_iter":
+            cfg = dataclasses.replace(cfg, refine_iters=6)
+        if args.dataset.startswith("nus") and not args.tiny:
+            cfg = I2PNetProjConfig.nuscenes()
+        model = I2PNetProj(cfg)
+    else:
+        cfg = I2PNetConfig.tiny() if args.tiny else I2PNetConfig()
+        model = I2PNet(cfg)
+
+    from i2pnet_tpu.data import (
+        KittiLargeRangeDataset,
+        KittiOdometryCMRDataset,
+        KittiRawCalibDataset,
+        NuScenesCMRDataset,
+        NuScenesLargeRangeDataset,
+    )
+    from i2pnet_tpu.data.params import KITTI_ONLINE_CALIB
+
+    tiny_kw = {}
+    if args.tiny:
+        tiny_kw = dict(img_H=64, img_W=128)
+
+    if args.dataset == "kd_cmr_snr":
+        sp = dict(sample_point=cfg.lidar_in_points) if args.tiny else {}
+        train_ds = KittiOdometryCMRDataset(
+            args.root_path, mode="train", seed=args.seed, **tiny_kw, **sp
+        )
+        valid_ds = None
+    elif args.dataset == "kd_corr_nolidar":
+        sp = dict(sample_point=2048) if args.tiny else {}
+        train_ds = KittiLargeRangeDataset(
+            args.root_path, mode="train", seed=args.seed, **tiny_kw, **sp
+        )
+        valid_ds = KittiLargeRangeDataset(
+            args.root_path, mode="val", seed=args.seed, **tiny_kw, **sp
+        )
+    elif args.dataset == "kitti":
+        pp = dict(KITTI_ONLINE_CALIB["train"])
+        pp["base_path"] = args.root_path
+        train_ds = KittiRawCalibDataset(
+            pp["base_path"], pp["date"], pp["drives"], d_rot=pp["d_rot"],
+            d_trans=pp["d_trans"], fixed_decalib=pp["fixed_decalib"],
+            resize_w=pp["resize_w"], resize_h=pp["resize_h"], seed=args.seed,
+        )
+        valid_ds = None
+    elif args.dataset == "nus_cmr_snr":
+        import glob as _g
+
+        splits = sorted(_g.glob(f"{args.root_path}/train_dataset*.list"))
+        train_ds = NuScenesCMRDataset(args.root_path, splits, mode="train", seed=args.seed)
+        valid_ds = None
+    else:  # nus_corr_nolidar
+        import glob as _g
+
+        splits = sorted(_g.glob(f"{args.root_path}/train_dataset*.list"))
+        train_ds = NuScenesLargeRangeDataset(args.root_path, splits, mode="train", seed=args.seed)
+        valid_ds = None
+    return model, cfg, proj, train_ds, valid_ds
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from i2pnet_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+    from i2pnet_tpu.train.trainer import Trainer
+    from i2pnet_tpu.utils.seeding import set_seed
+
+    set_seed(args.seed)
+    model, cfg, proj, train_ds, valid_ds = build(args)
+    trainer = Trainer(
+        model,
+        cfg,
+        train_ds,
+        valid_ds,
+        log_dir=args.log_dir,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        clip=args.clip,
+        epochs=args.max_epoch,
+        seed=args.seed,
+        proj=proj,
+        save_rate=args.save_rate,
+        resume=args.resume,
+        run_flags=vars(args),
+    )
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()
