@@ -88,6 +88,10 @@ class I2PNetConfig:
     mask_delay: bool = False
     mask_delay_step: int = 1904 * 8 * 30
 
+    # --- TPU compute dtype for conv/dense stacks ('float32'|'bfloat16');
+    # params and normalization stay f32 (mixed precision)
+    compute_dtype: str = "float32"
+
     # --- loss (ref :96-103)
     sq_init: float = -2.5
     sx_init: float = 0.0
@@ -200,6 +204,9 @@ class I2PNetProjConfig:
     split_dp: bool = False
     max_head: bool = False
     mask_sigmoid: bool = False
+
+    # --- TPU compute dtype for conv/dense stacks ('float32'|'bfloat16')
+    compute_dtype: str = "float32"
 
     # --- loss (ref :138-146)
     sq_init: float = -2.5

@@ -77,12 +77,13 @@ class I2PNet(nn.Module):
         B, H, W, _ = rgb_img.shape
         layer_pts = cfg.lidar_layer_points
         mlps = cfg.lidar_encoder_mlps
+        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
         if cfg.raw_feat_point and raw_xyz is None:
             raw_xyz = lidar_xyz
 
         # ---- image branch (ref modellearn.py:190-197)
-        rgb_feats = RGBEncoder(cfg.rgb_encoder_channels, name="rgb_encoder")(
+        rgb_feats = RGBEncoder(cfg.rgb_encoder_channels, dtype=cdt, name="rgb_encoder")(
             rgb_img, train
         )
         RF3 = rgb_feats[-1]  # (B, h3, w3, C)
@@ -97,16 +98,16 @@ class I2PNet(nn.Module):
         )
         sa_kw = dict(train=train)
         P1, LF1, fps1, P1_raw = PointNetSetAbstraction(
-            layer_pts[0], cfg.lidar_group_samples[0], mlps[0], name="lidar_lv1"
+            layer_pts[0], cfg.lidar_group_samples[0], mlps[0], dtype=cdt, name="lidar_lv1"
         )(lidar_xyz, feats0, feat_mode=cfg.featmode, raw_xyz=raw_xyz, **sa_kw)
         P2, LF2, fps2, P2_raw = PointNetSetAbstraction(
-            layer_pts[1], cfg.lidar_group_samples[1], mlps[1], name="lidar_lv2"
+            layer_pts[1], cfg.lidar_group_samples[1], mlps[1], dtype=cdt, name="lidar_lv2"
         )(P1, LF1, raw_xyz=P1_raw, **sa_kw)
         P3, LF3, fps3, P3_raw = PointNetSetAbstraction(
-            layer_pts[2], cfg.lidar_group_samples[2], mlps[2], name="lidar_lv3"
+            layer_pts[2], cfg.lidar_group_samples[2], mlps[2], dtype=cdt, name="lidar_lv3"
         )(P2, LF2, raw_xyz=P2_raw, **sa_kw)
         P4, LF4, fps4, P4_raw = PointNetSetAbstraction(
-            layer_pts[3], cfg.lidar_group_samples[3], mlps[3], name="lidar_lv4"
+            layer_pts[3], cfg.lidar_group_samples[3], mlps[3], dtype=cdt, name="lidar_lv4"
         )(P3, LF3, raw_xyz=P3_raw, **sa_kw)
 
         # ---- pixel grid to normalized camera plane (ref :220-226; the
@@ -133,16 +134,17 @@ class I2PNet(nn.Module):
             backward_validation=cfg.backward_validation[0],
             max_cost=cfg.max_cost,
             backward_fc=cfg.backward_fc,
+            dtype=cdt,
             name="cost_volume1",
         )(lidar_uv, LF3, RF3_index, RF3_flat, lidar_z, train)
 
         # ---- resample cost volume to l4 reusing fps_idx_4 (ref :248)
         P4_, l4_points_predict, _, _ = PointNetSetAbstraction(
-            layer_pts[3], cfg.lidar_group_samples[4], mlps[4], name="layer_idx"
+            layer_pts[3], cfg.lidar_group_samples[4], mlps[4], dtype=cdt, name="layer_idx"
         )(P3, concat_4, sample_idx=fps4, raw_xyz=P3_raw, **sa_kw)
 
         l4_cost_volume_w = FlowPredictor(
-            cfg.flow_predictor_mlps[0], name="flow_predictor0"
+            cfg.flow_predictor_mlps[0], dtype=cdt, name="flow_predictor0"
         )(LF4, None, l4_points_predict, train)
 
         # ---- optional l4 projection mask (ref :256-276)
@@ -197,6 +199,7 @@ class I2PNet(nn.Module):
             backward_validation=cfg.backward_validation[1],
             max_cost=cfg.max_cost,
             backward_fc=cfg.backward_fc,
+            dtype=cdt,
             name="cost_volume2",
         )(warped_uv, LF3, RF3_index, RF3_flat, warped_z, train)
 
@@ -208,21 +211,23 @@ class I2PNet(nn.Module):
             cfg.setupconv_nsamples[0],
             cfg.setupconv_mlps[0][0],
             cfg.setupconv_mlps[0][1],
+            dtype=cdt,
             name="set_upconv0_w_upsample",
         )(P3, P4, LF3, l4_cost_volume_w, **up_kw)
         l3_cost_volume_upsample = SetUpconv(
             cfg.setupconv_nsamples[1],
             cfg.setupconv_mlps[1][0],
             cfg.setupconv_mlps[1][1],
+            dtype=cdt,
             name="set_upconv0_upsample",
         )(P3, P4, LF3, l4_points_predict, **up_kw)
 
         # ---- refined embedding and mask (ref :318-322)
         l3_cost_volume_predict = FlowPredictor(
-            cfg.flow_predictor_mlps[1], name="flow_predictor0_predict"
+            cfg.flow_predictor_mlps[1], dtype=cdt, name="flow_predictor0_predict"
         )(LF3, l3_cost_volume_upsample, concat_3, train)
         l3_cost_volume_w = FlowPredictor(
-            cfg.flow_predictor_mlps[2], name="flow_predictor0_w"
+            cfg.flow_predictor_mlps[2], dtype=cdt, name="flow_predictor0_w"
         )(LF3, l3_cost_volume_w_upsample, l3_cost_volume_predict, train)
 
         # ---- optional l3 projection mask (ref :324-341)

@@ -48,6 +48,7 @@ class CostVolume(nn.Module):
     backward_validation: bool = False
     max_cost: bool = False
     backward_fc: bool = False
+    dtype: "jnp.dtype | None" = None
 
     @nn.compact
     def __call__(
@@ -133,7 +134,7 @@ class CostVolume(nn.Module):
                 [pi_feat1_new, image_max_respond], axis=-1
             )
 
-        pi_feat1_new = PointwiseMLP(self.mlp1, use_bn=True, name="mlp1_convs")(
+        pi_feat1_new = PointwiseMLP(self.mlp1, use_bn=True, dtype=self.dtype, name="mlp1_convs")(
             pi_feat1_new, train
         )
 
@@ -143,7 +144,7 @@ class CostVolume(nn.Module):
 
         if not self.max_cost:
             pi_concat = jnp.concatenate([pi_xyz_encoding, pi_feat1_new], axis=3)
-            pi_concat = PointwiseMLP(self.mlp2, use_bn=True, name="mlp2_convs")(
+            pi_concat = PointwiseMLP(self.mlp2, use_bn=True, dtype=self.dtype, name="mlp2_convs")(
                 pi_concat, train
             )
             WQ = jax.nn.softmax(pi_concat, axis=2)
@@ -176,7 +177,7 @@ class CostVolume(nn.Module):
         pc_concat = jnp.concatenate(
             [pc_xyz_encoding, pc_points_new, pc_points_grouped], axis=-1
         )
-        pc_concat = PointwiseMLP(self.mlp2, use_bn=True, name="mlp2_convs_2")(
+        pc_concat = PointwiseMLP(self.mlp2, use_bn=True, dtype=self.dtype, name="mlp2_convs_2")(
             pc_concat, train
         )
         WP = jax.nn.softmax(pc_concat, axis=2)

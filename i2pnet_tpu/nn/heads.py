@@ -20,6 +20,7 @@ class FlowPredictor(nn.Module):
     """Concat -> pointwise MLP (ref MainModules.py:10-46)."""
 
     mlp: Sequence[int]
+    dtype: "jnp.dtype | None" = None
 
     @nn.compact
     def __call__(
@@ -33,7 +34,7 @@ class FlowPredictor(nn.Module):
             x = jnp.concatenate([points_f1, cost_volume, upsampled_feat], axis=-1)
         else:
             x = jnp.concatenate([points_f1, cost_volume], axis=-1)
-        return PointwiseMLP(self.mlp, use_bn=True, name="mlp_conv")(x, train)
+        return PointwiseMLP(self.mlp, use_bn=True, dtype=self.dtype, name="mlp_conv")(x, train)
 
 
 class PoseHead(nn.Module):

@@ -64,11 +64,14 @@ class PointwiseConv(nn.Module):
     use_bn: bool = False
     activation: Optional[str] = "leaky"
     bn_stats: bool = True  # False -> BatchStatsNorm (track_running_stats off)
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Dense(self.features)(x)
+        x = nn.Dense(self.features, dtype=self.dtype)(x)
         if self.use_bn:
+            # normalization statistics always in f32
+            x = x.astype(jnp.float32)
             x = batch_norm(train)(x) if self.bn_stats else BatchStatsNorm()(x)
         if self.activation == "leaky":
             x = nn.leaky_relu(x, negative_slope=0.1)
@@ -84,6 +87,7 @@ class PointwiseMLP(nn.Module):
     use_bn: bool = True
     activation: Optional[str] = "leaky"
     bn_stats: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -93,6 +97,7 @@ class PointwiseMLP(nn.Module):
                 use_bn=self.use_bn,
                 activation=self.activation,
                 bn_stats=self.bn_stats,
+                dtype=self.dtype,
             )(x, train)
         return x
 
@@ -106,11 +111,16 @@ class RGBEncoderStage(nn.Module):
 
     channels: Sequence[int]
     strides: Sequence[int]
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         for ch, s in zip(self.channels, self.strides):
-            x = nn.Conv(ch, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))(x)
+            x = nn.Conv(
+                ch, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                dtype=self.dtype,
+            )(x)
+            x = x.astype(jnp.float32)
             x = batch_norm(train)(x)
             x = nn.leaky_relu(x, negative_slope=0.1)
             x = nn.max_pool(
@@ -127,11 +137,12 @@ class RGBEncoder(nn.Module):
     """
 
     stages: Tuple[Tuple[int, Tuple[int, ...], Tuple[int, ...]], ...]
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         outs = []
         for _, channels, strides in self.stages:
-            x = RGBEncoderStage(channels, strides)(x, train)
+            x = RGBEncoderStage(channels, strides, dtype=self.dtype)(x, train)
             outs.append(x)
         return tuple(outs)

@@ -20,6 +20,7 @@ class PointNetSetAbstraction(nn.Module):
     npoint: int
     nsample: int
     mlp: Sequence[int]
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -47,8 +48,8 @@ class PointNetSetAbstraction(nn.Module):
             feat_mode=feat_mode,
         )
         for f in self.mlp:
-            new_points = nn.Dense(f)(new_points)
-            new_points = batch_norm(train)(new_points)
+            new_points = nn.Dense(f, dtype=self.dtype)(new_points)
+            new_points = batch_norm(train)(new_points.astype(jnp.float32))
             new_points = nn.relu(new_points)
         new_feat = jnp.max(new_points, axis=2)
         return new_xyz, new_feat, fps_idx, new_raw_xyz

@@ -19,6 +19,7 @@ class SetUpconv(nn.Module):
     nsample: int
     mlp: Sequence[int]
     mlp2: Sequence[int]
+    dtype: "jnp.dtype | None" = None
 
     @nn.compact
     def __call__(
@@ -45,12 +46,12 @@ class SetUpconv(nn.Module):
         )
         net = jnp.concatenate([feat2_grouped, xyz_diff], axis=3)
         if len(self.mlp) > 0:
-            net = PointwiseMLP(self.mlp, use_bn=True, name="mlp_conv")(net, train)
+            net = PointwiseMLP(self.mlp, use_bn=True, dtype=self.dtype, name="mlp_conv")(net, train)
         feat1_new = jnp.max(net, axis=2)
         if feat1 is not None:
             feat1_new = jnp.concatenate([feat1_new, feat1], axis=2)
         if len(self.mlp2) > 0:
-            feat1_new = PointwiseMLP(self.mlp2, use_bn=True, name="mlp2_conv")(
+            feat1_new = PointwiseMLP(self.mlp2, use_bn=True, dtype=self.dtype, name="mlp2_conv")(
                 feat1_new, train
             )
         return feat1_new

@@ -58,14 +58,45 @@ def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     return s2 + d2 - 2.0 * cross
 
 
-def knn_point(nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray) -> jnp.ndarray:
+# approx_min_k recall for the fast TPU KNN path; 0.95 measures ~99.3% true-
+# neighbor recall at K=32/N=8192 and is ~13x faster than exact lax.top_k.
+KNN_RECALL_TARGET = 0.95
+
+
+def knn_point(
+    nsample: int,
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    exact: bool | None = None,
+) -> jnp.ndarray:
     """Indices of the nsample nearest points in xyz for each query in new_xyz.
 
     xyz: (B, N, C); new_xyz: (B, S, C) -> (B, S, nsample) int32.
     (ref pointnet_util.py:112-123 knn_point; topk over squared distances.)
+
+    TPU path: lax.top_k is the single most expensive op in the whole forward
+    (93 ms of a 182 ms step at (8,2048,8192) k=32); approx_min_k's tiled
+    partial reduction does it in ~7 ms at recall ~0.99. Ordering uses the
+    per-row-shift-invariant score |d|^2 - 2 q.d. exact=None auto-selects:
+    exact off TPU (tests, parity), approximate on TPU.
     """
-    sqrdists = square_distance(new_xyz, xyz)
-    _, idx = jax.lax.top_k(-sqrdists, nsample)
+    if exact is None:
+        exact = jax.default_backend() != "tpu"
+    if exact:
+        sqrdists = square_distance(new_xyz, xyz)
+        _, idx = jax.lax.top_k(-sqrdists, nsample)
+        return idx.astype(jnp.int32)
+    dots = jnp.einsum(
+        "bsc,bnc->bsn",
+        new_xyz,
+        xyz,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    scores = jnp.sum(xyz * xyz, axis=-1)[:, None, :] - 2.0 * dots
+    _, idx = jax.lax.approx_min_k(
+        scores, nsample, recall_target=KNN_RECALL_TARGET
+    )
     return idx.astype(jnp.int32)
 
 
@@ -102,14 +133,23 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 group_points = index_points
 
 
-def farthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+def farthest_point_sample(
+    xyz: jnp.ndarray, npoint: int, use_pallas: bool | None = None
+) -> jnp.ndarray:
     """Iterative farthest point sampling. xyz: (B, N, 3) -> (B, npoint) int32.
 
     Deterministic: starts at index 0, exactly like the reference CUDA kernel
     (ref pointnet2/src/sampling_gpu.cu:95-253; seed point at :112-117).
-    Runs as one on-device fori_loop; each step is a fused (B, N) distance
-    update + argmax on the VPU.
+    On TPU dispatches to the Pallas kernel (ops.fps_pallas) — one kernel,
+    VMEM-resident state; elsewhere a lax.fori_loop with a fused (B, N)
+    distance update + argmax per step.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from i2pnet_tpu.ops.fps_pallas import fps_pallas
+
+        return fps_pallas(xyz, npoint)
     B, N, _ = xyz.shape
 
     def body(i, state):

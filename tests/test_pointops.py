@@ -170,3 +170,25 @@ def test_sample_and_group_default_mode():
         8, 4, jnp.array(xyz), jnp.array(feats)
     )
     assert new_points.shape == (1, 8, 4, 7)  # 3 + D
+
+
+def test_fps_pallas_interpret_matches_xla():
+    """Pallas FPS kernel == XLA loop (interpret mode; real-TPU parity is
+    exercised by bench runs)."""
+    from i2pnet_tpu.ops.fps_pallas import fps_pallas
+
+    rng = np.random.default_rng(11)
+    xyz = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
+    ref = np.asarray(P.farthest_point_sample(xyz, 16, use_pallas=False))
+    got = np.asarray(fps_pallas(xyz, 16, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_knn_exact_flag_paths():
+    rng = np.random.default_rng(12)
+    xyz = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+    q = xyz[:, :16]
+    exact = np.asarray(P.knn_point(8, xyz, q, exact=True))
+    # on CPU the approximate path lowers to an exact reduction
+    approx = np.asarray(P.knn_point(8, xyz, q, exact=False))
+    np.testing.assert_array_equal(np.sort(exact, -1), np.sort(approx, -1))
