@@ -98,26 +98,26 @@ class KittiLargeRangeDataset:
         Tr = np.vstack((Tr, [0, 0, 0, 1]))
         Pc = P2 @ Tr
 
-        # points (+ shuffle, ref :526-543)
+        # points (ref :526-543); shuffle deferred into the assembly pass
+        from i2pnet_tpu.data import native_io as NIO
+
         if self.raw:
-            bin_data = np.fromfile(
-                os.path.join(pc_folder, "%06d.bin" % seq_i), np.float32
-            ).reshape(-1, 4).T
-            shuffle = self.rng.permutation(bin_data.shape[1])
-            bin_data = bin_data[:, shuffle]
-            pc_np = bin_data[0:3]
-            intensity_np = bin_data[3:4]
-            sn_np = np.load(os.path.join(snr_folder, "%06d.npy" % seq_i)).astype(
-                np.float32
-            )[-3:, shuffle]
+            xyz_n3, intensity_1d = NIO.read_velodyne_bin(
+                os.path.join(pc_folder, "%06d.bin" % seq_i)
+            )
+            sn_n3 = np.ascontiguousarray(
+                np.load(os.path.join(snr_folder, "%06d.npy" % seq_i))
+                .astype(np.float32)[-3:]
+                .T
+            )
         else:
             npy_data = np.load(os.path.join(snr_folder, "%06d.npy" % seq_i)).astype(
                 np.float32
             )
-            npy_data = npy_data[:, self.rng.permutation(npy_data.shape[1])]
-            pc_np = npy_data[0:3]
-            intensity_np = npy_data[3:4]
-            sn_np = npy_data[4:7]
+            xyz_n3 = np.ascontiguousarray(npy_data[0:3].T)
+            intensity_1d = np.ascontiguousarray(npy_data[3])
+            sn_n3 = np.ascontiguousarray(npy_data[4:7].T)
+        perm = self.rng.permutation(xyz_n3.shape[0])
 
         # decalibration (ref :628-643): gt = Pr^-1, init = Pr @ Pc
         Pr = T.generate_random_transform(
@@ -130,20 +130,13 @@ class KittiLargeRangeDataset:
         rgb_img = np.load(os.path.join(img_folder, "%06d.npy" % seq_i))
 
         if self.mode == "train" and self.augment:
-            pc_np = T.jitter_point_cloud(self.rng, pc_np)
-            sn_np = T.jitter_point_cloud(self.rng, sn_np)
+            xyz_n3 = T.jitter_point_cloud(self.rng, xyz_n3)
+            sn_n3 = T.jitter_point_cloud(self.rng, sn_n3)
 
-        origin_pc_np = pc_np.copy().T.astype(np.float32)
-        pc_h = np.concatenate([pc_np, np.ones((1, pc_np.shape[1]))], axis=0)
-        lidar_img = (init_extrinsic @ pc_h).T.astype(np.float32)
-        sn_np = init_extrinsic[:, :3] @ sn_np  # normals: rotation only
-
-        lidar_feats = intensity_np.astype(np.float32).T  # (N,1) (ref :683)
-
-        # zero-pad to the fixed budget (ref :696-711)
-        lidar_img = T.zero_pad_points(lidar_img, self.sample_point)
-        lidar_feats = T.zero_pad_points(lidar_feats, self.sample_point)
-        origin_pc_np = T.zero_pad_points(origin_pc_np, self.sample_point)
+        # fused permute + transform + zero-pad (native when available)
+        lidar_img, lidar_feats, origin_pc_np, _ = NIO.assemble_large_range_sample(
+            xyz_n3, intensity_1d, sn_n3, perm, init_extrinsic, self.sample_point
+        )
 
         # image: crop 50 top rows, scale, random/center crop (ref :714-746)
         crop_top = 50
