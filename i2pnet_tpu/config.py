@@ -208,6 +208,10 @@ class I2PNetProjConfig:
     # --- TPU compute dtype for conv/dense stacks ('float32'|'bfloat16')
     compute_dtype: str = "float32"
 
+    # reproduce the reference's NaN-row pad scatter (zeroes cell (0, W//2)
+    # when the cloud has zero-pad points; see ops.projection.spherical_project)
+    ref_pad_quirk: bool = True
+
     # --- loss (ref :138-146)
     sq_init: float = -2.5
     sx_init: float = 0.0

@@ -82,6 +82,7 @@ class I2PNetProj(nn.Module):
             cfg.fup,
             cfg.fdown,
             use_rank=cfg.rank,
+            ref_pad_quirk=cfg.ref_pad_quirk,
         )
 
         # ---- lidar pyramid (ref :256-259)

@@ -80,6 +80,7 @@ def spherical_project(
     fup: float = 2.0,
     fdown: float = -24.8,
     use_rank: bool = True,
+    ref_pad_quirk: bool = False,
 ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """Project a raw cloud into a spherical range image.
 
@@ -94,6 +95,12 @@ def spherical_project(
     sets cfg.rank=False, config_proj_lidarcenter.py:25, so the reference
     scatters in raw input order). Both are expressed order-independently
     (segment_min / segment_max) so they jit and run deterministically.
+
+    ref_pad_quirk: the reference computes asin(0/0) = NaN rows for zero-pad
+    points and scatters them anyway — on torch-CPU they land on cell
+    (0, W//2), zeroing it (pad features are zeros). True reproduces that
+    cell stomp for checkpoint/numeric parity; False keeps the clean
+    semantics (pads never win).
     """
     B, N, _ = xyz.shape
     az_res = (2.0 * jnp.pi) / W
@@ -150,6 +157,10 @@ def spherical_project(
 
     xyz_proj = scatter(xyz)
     feat_projs = [scatter(f) for f in features]
+    if ref_pad_quirk:
+        keep = jnp.where(jnp.all(valid, axis=1), 1.0, 0.0)[:, None]  # (B,1)
+        xyz_proj = xyz_proj.at[:, 0, W // 2, :].multiply(keep)
+        feat_projs = [f.at[:, 0, W // 2, :].multiply(keep) for f in feat_projs]
     return xyz_proj, feat_projs
 
 
