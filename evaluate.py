@@ -80,6 +80,41 @@ def main(argv=None):
                 from i2pnet_tpu.data.preprocess import generate_test_rt
 
                 test_ds.test_RT = generate_test_rt(len(test_ds), seed=args.seed)
+    elif args.dataset == "kitti":
+        # online calibration protocol (ref evaluation.py): fixed-amplitude
+        # decalibrations on the raw test drives
+        from i2pnet_tpu.data import KittiRawCalibDataset
+        from i2pnet_tpu.data.params import KITTI_ONLINE_CALIB
+
+        pp = dict(KITTI_ONLINE_CALIB["test"])
+        pp["base_path"] = args.root_path
+        test_ds = KittiRawCalibDataset(
+            pp["base_path"], pp["date"], pp["drives"], d_rot=pp["d_rot"],
+            d_trans=pp["d_trans"], fixed_decalib=True,
+            resize_w=pp["resize_w"], resize_h=pp["resize_h"], seed=args.seed,
+        )
+    elif args.dataset in ("nus_cmr_snr", "nus_corr_nolidar"):
+        import glob as _g
+
+        from i2pnet_tpu.data import NuScenesCMRDataset, NuScenesLargeRangeDataset
+
+        splits = sorted(_g.glob(f"{args.root_path}/test_dataset*.list"))
+        if args.dataset == "nus_cmr_snr":
+            test_ds = NuScenesCMRDataset(
+                args.root_path, splits, mode="test", seed=args.seed
+            )
+            if args.test_rt:
+                import pandas as pd
+
+                test_ds.test_RT = pd.read_csv(args.test_rt).to_numpy()[:, :6]
+            else:
+                from i2pnet_tpu.data.preprocess import generate_test_rt
+
+                test_ds.test_RT = generate_test_rt(len(test_ds), seed=args.seed)
+        else:
+            test_ds = NuScenesLargeRangeDataset(
+                args.root_path, splits, mode="test", seed=args.seed
+            )
     else:
         raise NotImplementedError(f"eval protocol for {args.dataset}")
 

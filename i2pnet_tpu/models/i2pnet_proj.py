@@ -56,9 +56,10 @@ class I2PNetProj(nn.Module):
         B, H, W, _ = rgb_img.shape
         Hs, Ws = cfg.lidar_Hs, cfg.lidar_Ws
         mlps = cfg.lidar_encoder_mlps
+        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
         # ---- image branch (ref :230-238)
-        rgb_feats = RGBEncoder(cfg.rgb_encoder_channels, name="rgb_encoder")(
+        rgb_feats = RGBEncoder(cfg.rgb_encoder_channels, dtype=cdt, name="rgb_encoder")(
             rgb_img, train
         )
         RF3 = rgb_feats[-1]
@@ -98,6 +99,7 @@ class I2PNetProj(nn.Module):
                 mlp=mlp,
                 use_trans=cfg.use_trans,
                 use_bn=cfg.use_bn_p,
+                dtype=cdt,
                 name=name,
             )
 
@@ -137,6 +139,7 @@ class I2PNetProj(nn.Module):
             backward_validation=cfg.backward_validation[0],
             use_trans=cfg.use_trans,
             use_bn=cfg.use_bn_p,
+            dtype=cdt,
             name="cost_volume1",
         )(P3_raw, lidar_uv, LF3_flat, l3_idx_n2, RF3_index, RF3_flat, lidar_z, train)
 
@@ -150,6 +153,7 @@ class I2PNetProj(nn.Module):
             mlp=mlps[4],
             use_trans=cfg.use_trans,
             use_bn=cfg.use_bn_p,
+            dtype=cdt,
             name="layer_idx",
         )(P3_raw, P3, concat_4, raw_feat_point=rf, train=train)
 
@@ -158,7 +162,7 @@ class I2PNetProj(nn.Module):
         l4_pred_flat = l4_points_predict.reshape(B, H4 * W4, -1)
 
         l4_cost_volume_w = ProjFlowPredictor(
-            cfg.flow_predictor_mlps[0], use_bn=cfg.use_bn_p, name="flow_predictor0"
+            cfg.flow_predictor_mlps[0], use_bn=cfg.use_bn_p, dtype=cdt, name="flow_predictor0"
         )(LF4_flat, None, l4_pred_flat, train)
         l4_cost_volume_w = (
             l4_cost_volume_w * l4_valid_mask + -1e10 * (1 - l4_valid_mask)
@@ -196,6 +200,7 @@ class I2PNetProj(nn.Module):
                 mlp2=cfg.setupconv_mlps[i][1],
                 use_trans=cfg.use_trans,
                 use_bn=cfg.use_bn_p,
+                dtype=cdt,
                 name=name,
             )
 
@@ -221,14 +226,15 @@ class I2PNetProj(nn.Module):
             backward_validation=cfg.backward_validation[1],
             use_trans=cfg.use_trans,
             use_bn=cfg.use_bn_p,
+            dtype=cdt,
             name="cost_volume2",
         )
         fp_predict = ProjFlowPredictor(
-            cfg.flow_predictor_mlps[1], use_bn=cfg.use_bn_p,
+            cfg.flow_predictor_mlps[1], use_bn=cfg.use_bn_p, dtype=cdt,
             name="flow_predictor0_predict",
         )
         fp_w = ProjFlowPredictor(
-            cfg.flow_predictor_mlps[2], use_bn=cfg.use_bn_p, name="flow_predictor0_w"
+            cfg.flow_predictor_mlps[2], use_bn=cfg.use_bn_p, dtype=cdt, name="flow_predictor0_w"
         )
         l3_head = make_head("l3_head")
 

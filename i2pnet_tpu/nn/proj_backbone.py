@@ -52,6 +52,7 @@ class ProjectPointNet(nn.Module):
     mlp: Sequence[int]
     use_trans: bool = True
     use_bn: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -60,6 +61,7 @@ class ProjectPointNet(nn.Module):
         xyz: jnp.ndarray,
         feature: jnp.ndarray,
         center_mode: bool = False,
+        dist_mode: bool = False,
         using_intens: bool = False,
         raw_feat_point: bool = True,
         train: bool = False,
@@ -92,12 +94,16 @@ class ProjectPointNet(nn.Module):
             if using_intens:
                 parts.append(grouped_points)
             new_points = jnp.concatenate(parts, axis=-1)
+        elif dist_mode:
+            # distance-only features (ref PPBackbone_dist.py:143-153
+            # forward_dist with featmode='dist')
+            new_points = safe_norm(grouped_norm, axis=-1, keepdims=True)
         else:
             new_points = jnp.concatenate([grouped_norm, grouped_points], axis=-1)
 
         new_points = PointwiseMLP(
             self.mlp, use_bn=self.use_bn, activation="relu", bn_stats=False,
-            name="mlp_convs",
+            dtype=self.dtype, name="mlp_convs",
         )(new_points, train)
         new_feat = jnp.max(new_points, axis=2).reshape(B, self.out_h, self.out_w, -1)
         return new_xyz_raw, new_xyz, new_feat
@@ -118,6 +124,7 @@ class ProjSetUpconv(nn.Module):
     mlp2: Sequence[int]
     use_trans: bool = True
     use_bn: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -129,6 +136,7 @@ class ProjSetUpconv(nn.Module):
         feat1: Optional[jnp.ndarray],
         feat2: jnp.ndarray,
         raw_feat_point: bool = True,
+        dist_mode: bool = False,
         train: bool = False,
     ) -> jnp.ndarray:
         """xyz1*: (B, out_h, out_w, 3) fine; xyz2*: (B, h2, w2, 3) coarse;
@@ -151,17 +159,24 @@ class ProjSetUpconv(nn.Module):
             grouped_xyz = gather_grid(xyz2, h_idx, w_idx)
             diff = grouped_xyz - xyz1.reshape(B, N, 1, 3)
         grouped_feat2 = gather_grid(feat2, h_idx, w_idx)
-        net = jnp.concatenate([grouped_feat2, diff], axis=3)
+        if dist_mode:
+            # distance-only geometry (ref PPBackbone_dist.py:295-297)
+            geom = safe_norm(diff, axis=-1, keepdims=True)
+        else:
+            geom = diff
+        net = jnp.concatenate([grouped_feat2, geom], axis=3)
         if len(self.mlp) > 0:
             net = PointwiseMLP(
-                self.mlp, use_bn=self.use_bn, bn_stats=False, name="mlp_conv"
+                self.mlp, use_bn=self.use_bn, bn_stats=False, dtype=self.dtype,
+                name="mlp_conv",
             )(net, train)
         feat1_new = jnp.max(net, axis=2).reshape(B, self.out_h, self.out_w, -1)
         if feat1 is not None:
             feat1_new = jnp.concatenate([feat1_new, feat1], axis=3)
         if len(self.mlp2) > 0:
             feat1_new = PointwiseMLP(
-                self.mlp2, use_bn=self.use_bn, bn_stats=False, name="mlp2_conv"
+                self.mlp2, use_bn=self.use_bn, bn_stats=False, dtype=self.dtype,
+                name="mlp2_conv",
             )(feat1_new, train)
         return feat1_new.reshape(B, N, -1)
 
@@ -185,6 +200,7 @@ class ProjCostVolume(nn.Module):
     backward_validation: bool = False
     use_trans: bool = True
     use_bn: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -240,14 +256,16 @@ class ProjCostVolume(nn.Module):
             pi_feat1_new = jnp.concatenate([pi_feat1_new, image_max_respond], -1)
 
         pi_feat1_new = PointwiseMLP(
-            self.mlp1, use_bn=self.use_bn, bn_stats=False, name="mlp1_convs"
+            self.mlp1, use_bn=self.use_bn, bn_stats=False, dtype=self.dtype,
+            name="mlp1_convs",
         )(pi_feat1_new, train)
         pi_xyz_encoding = PointwiseConv(
             self.mlp1[-1], use_bn=self.use_bn, bn_stats=False, name="pi_encoding"
         )(pi_xyz_diff_concat, train)
         pi_concat = jnp.concatenate([pi_xyz_encoding, pi_feat1_new], 3)
         pi_concat = PointwiseMLP(
-            self.mlp2, use_bn=self.use_bn, bn_stats=False, name="mlp2_convs"
+            self.mlp2, use_bn=self.use_bn, bn_stats=False, dtype=self.dtype,
+            name="mlp2_convs",
         )(pi_concat, train)
         WQ = jax.nn.softmax(pi_concat, axis=2)
         pi_feat1_new = jnp.sum(WQ * pi_feat1_new, axis=2)  # (B,N,mlp1[-1])
@@ -284,7 +302,8 @@ class ProjCostVolume(nn.Module):
             [pc_xyz_encoding, pc_points_new, pc_points_grouped], -1
         )
         pc_concat = PointwiseMLP(
-            self.mlp2, use_bn=self.use_bn, bn_stats=False, name="mlp2_convs_2"
+            self.mlp2, use_bn=self.use_bn, bn_stats=False, dtype=self.dtype,
+            name="mlp2_convs_2",
         )(pc_concat, train)
         pc_concat = pc_concat * valid_mask + -1e10 * (1 - valid_mask)
         WP = jax.nn.softmax(pc_concat, axis=2)
@@ -297,6 +316,7 @@ class ProjFlowPredictor(nn.Module):
 
     mlp: Sequence[int]
     use_bn: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -311,5 +331,6 @@ class ProjFlowPredictor(nn.Module):
         else:
             x = jnp.concatenate([points_f1, cost_volume], -1)
         return PointwiseMLP(
-            self.mlp, use_bn=self.use_bn, bn_stats=False, name="mlp_conv"
+            self.mlp, use_bn=self.use_bn, bn_stats=False, dtype=self.dtype,
+            name="mlp_conv",
         )(x, train)

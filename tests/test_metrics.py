@@ -152,3 +152,28 @@ def test_quaternion_distance():
     r = np.array([[np.cos(ang / 2), np.sin(ang / 2), 0, 0]])
     d = M.quaternion_distance(q, r)
     np.testing.assert_allclose(d, [ang], atol=1e-6)
+
+
+def test_visualization_render():
+    from i2pnet_tpu.eval.visualize import render_comparison, render_projection
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 255, size=(64, 128, 3), dtype=np.uint8)
+    pts = rng.uniform(-5, 5, size=(200, 3)).astype(np.float32)
+    pts[:, 2] += 10
+    E = np.eye(3, 4, dtype=np.float32)
+    K = np.array([[60.0, 0, 64], [0, 60.0, 32], [0, 0, 1]], np.float32)
+    img = render_projection(rgb, pts, E, K)
+    assert img.shape == rgb.shape
+    assert not np.array_equal(img, rgb)  # some points drawn
+    panel = render_comparison(rgb, pts, E, E, E, K)
+    assert panel.shape == (192, 128, 3)
+
+
+def test_average_meter():
+    from i2pnet_tpu.utils import AverageMeter
+
+    m = AverageMeter()
+    m.update(1.0)
+    m.update(3.0, n=3)
+    assert m.avg == 2.5 and m.count == 4

@@ -75,3 +75,18 @@ def test_train_mode_grads(tiny_setup):
     assert all(bool(jnp.isfinite(g).all()) for g in leaves)
     total = sum(float(jnp.abs(g).sum()) for g in leaves)
     assert total > 0.0
+
+
+def test_resnet_encoder_pyramid():
+    """Optional ResNet image encoder (ref src/resnet.py ImageEncoder)."""
+    import jax
+    from i2pnet_tpu.nn.resnet import ResNetEncoder
+
+    enc = ResNetEncoder(stage_sizes=(1, 1, 1, 1), widths=(8, 8, 16, 16))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 64, 128, 3)).astype(np.float32))
+    v = enc.init(jax.random.key(0), x, False)
+    c3, c4, c5 = enc.apply(v, x, False)
+    assert c3.shape == (1, 8, 16, 8)
+    assert c4.shape == (1, 4, 8, 16)
+    assert c5.shape == (1, 2, 4, 16)

@@ -90,3 +90,48 @@ def test_proj_iter_variant(proj_setup):
     out = model6.apply(variables, *inputs, train=False)  # shared weights
     assert out["out3"].shape == (inputs[0].shape[0], 7)
     assert bool(jnp.isfinite(out["out3"]).all())
+
+
+def test_proj_backbone_dist_mode():
+    """PPBackbone_dist parity surface: distance-only features."""
+    import jax
+    from i2pnet_tpu.nn.proj_backbone import ProjectPointNet
+
+    rng = np.random.default_rng(5)
+    xyz = jnp.asarray(rng.normal(size=(1, 8, 16, 3)).astype(np.float32))
+    feat = jnp.asarray(rng.normal(size=(1, 8, 16, 4)).astype(np.float32))
+    m = ProjectPointNet(out_h=4, out_w=8, stride_h=2, stride_w=2,
+                        kernel_size=(3, 3), nsample=4, distance=10.0,
+                        mlp=(8,))
+    v = m.init(jax.random.key(0), xyz, xyz, feat, dist_mode=True)
+    _, _, out = m.apply(v, xyz, xyz, feat, dist_mode=True)
+    assert out.shape == (1, 4, 8, 8)
+    # dist-mode input is 1 channel -> first Dense kernel has in-dim 1
+    k = v["params"]["mlp_convs"]["PointwiseConv_0"]["Dense_0"]["kernel"]
+    assert k.shape[0] == 1
+
+
+def test_pose_head_with_mlps_and_pos_embed():
+    """Cover the global-attention PoseHead branch (mlp1/mlp2 nonempty,
+    ref MainModules.py:330-370) and pos_embed."""
+    import jax
+    from i2pnet_tpu.nn.heads import PoseHead
+
+    rng = np.random.default_rng(6)
+    B, N, C = 2, 32, 16
+    pred = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    mask = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    xyz = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+    feat = jnp.asarray(rng.normal(size=(B, N, 8)).astype(np.float32))
+    # weight * prediction requires mlp2[-1] == prediction channels
+    # (as in the reference's commented full config, MainModules.py:64-65)
+    head = PoseHead(mlp1=(16, 16), mlp2=(16,), hidden=16, pos_embed=True)
+    v = head.init(jax.random.key(0), pred, mask, xyz, feat, None)
+    q, t, mask_p = head.apply(v, pred, mask, xyz, feat, None)
+    assert q.shape == (B, 4) and t.shape == (B, 3)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(q), axis=-1), 1.0,
+                               atol=1e-4)
+    # projection-mask gating path
+    pm = jax.nn.one_hot(jnp.ones((B, N), jnp.int32), 2)
+    q2, t2, _ = head.apply(v, pred, mask, xyz, feat, pm)
+    assert bool(jnp.isfinite(q2).all())
