@@ -86,12 +86,14 @@ def knn_point(
         sqrdists = square_distance(new_xyz, xyz)
         _, idx = jax.lax.top_k(-sqrdists, nsample)
         return idx.astype(jnp.int32)
+    # HIGH (bf16_3x) is f32-grade for this dot; bf16 scores drop measured
+    # recall to 0.94 — not worth it
     dots = jnp.einsum(
         "bsc,bnc->bsn",
         new_xyz,
         xyz,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
     )
     scores = jnp.sum(xyz * xyz, axis=-1)[:, None, :] - 2.0 * dots
     _, idx = jax.lax.approx_min_k(
