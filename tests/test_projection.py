@@ -202,3 +202,49 @@ def test_grid_helpers():
     np.testing.assert_array_equal(ds[0, :, :, 0], [[0, 2], [8, 10]])
     v = np.asarray(PR.check_valid(jnp.array([[[0.0, 0, 0], [1, 0, 0]]])))
     np.testing.assert_array_equal(v[..., 0], [[0.0, 1.0]])
+
+
+def test_grid_window_select_matches_generic():
+    """The slice-structured fast path must match the generic gather path
+    (same masks; same selected features wherever mask=1)."""
+    rng = np.random.default_rng(9)
+    B, H, W = 2, 8, 16
+    xyz = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+    holes = rng.random((B, H, W)) < 0.3
+    xyz[holes] = 0.0
+    feat = rng.normal(size=(B, H, W, 5)).astype(np.float32)
+
+    cases = [
+        # (out_h, out_w, qstride, src_hw, stride, kernel, K, copy)
+        (4, 8, (2, 2), (H, W), (1, 1), (3, 5), 4, True),    # downsample lvl
+        (8, 16, (1, 1), (H, W), (1, 1), (3, 3), 4, False),  # cost-volume 3D
+        (8, 16, (1, 1), (4, 8), (2, 2), (3, 3), 4, True),   # upconv
+    ]
+    for out_h, out_w, qstride, src_hw, stride, kernel, K, copy in cases:
+        if src_hw == (H, W):
+            src = xyz
+            srcf = feat
+        else:
+            src = xyz[:, : src_hw[0] * 2 : 2, : src_hw[1] * 2 : 2]
+            srcf = feat[:, : src_hw[0] * 2 : 2, : src_hw[1] * 2 : 2]
+        idx_hw = np.asarray(
+            PR.strided_grid_indices(B, out_h, out_w, qstride[0], qstride[1])
+        )
+        h_g, w_g, m_g = PR.window_neighbor_select(
+            jnp.array(xyz), jnp.array(src), jnp.array(idx_hw), kernel, K,
+            stride, 1.5, True, copy,
+        )
+        feats_g = PR.gather_grid(jnp.array(srcf), h_g, w_g)
+
+        args, m_f = PR.window_neighbor_select_grid(
+            jnp.array(xyz), jnp.array(src), out_h, out_w, qstride, kernel, K,
+            stride, 1.5, True, copy,
+        )
+        feats_f = PR.select_window_features(
+            jnp.array(srcf), args, out_h, out_w, qstride, stride, kernel, True
+        )
+        np.testing.assert_array_equal(np.asarray(m_g), np.asarray(m_f))
+        # ALL slots must match, including no-hit/invalid sentinel gathers
+        np.testing.assert_allclose(
+            np.asarray(feats_g), np.asarray(feats_f), atol=1e-6
+        )
