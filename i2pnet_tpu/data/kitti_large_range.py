@@ -121,7 +121,8 @@ class KittiLargeRangeDataset:
 
         # decalibration (ref :628-643): gt = Pr^-1, init = Pr @ Pc
         Pr = T.generate_random_transform(
-            self.rng, self.tx, self.ty, self.tz, self.rx, self.ry, self.rz
+            self.rng, self.tx, self.ty, self.tz, self.rx, self.ry, self.rz,
+            clip_tz=False,  # full +-10 m (ref :394-396, no clip)
         )
         Pr_inv = np.linalg.inv(Pr)
         decalib_q, decalib_t = T.decalib_ground_truth(Pr_inv[:3, :])

@@ -75,9 +75,16 @@ class KittiOdometryCMRDataset:
             for fi in frames:
                 self.dataset.append((pc_folder, img_folder, calib_path, seq, fi))
 
-        # fixed decalibration table for test/val (ref :255-283)
+        # fixed decalibration table for test/val (ref :255-283); default to
+        # a deterministic generated table so the dataset works standalone
         self.test_RT = test_rt
-        if mode != "train" and self.test_RT is not None:
+        if mode != "train":
+            if self.test_RT is None:
+                from i2pnet_tpu.data.preprocess import generate_test_rt
+
+                self.test_RT = generate_test_rt(
+                    len(self.dataset), max_r_deg=max_r, max_t=max_t, seed=seed
+                )
             assert len(self.test_RT) >= len(self.dataset), "test RT too short"
 
     def __len__(self) -> int:

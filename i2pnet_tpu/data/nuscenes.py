@@ -110,6 +110,12 @@ class NuScenesCMRDataset(_NuScenesBase):
         self.r_amp = max_r * np.pi / 180.0
         self.t_amp = max_t
         self.test_RT = test_rt
+        if mode != "train" and self.test_RT is None:
+            from i2pnet_tpu.data.preprocess import generate_test_rt
+
+            self.test_RT = generate_test_rt(
+                len(self.dataset), max_r_deg=max_r, max_t=max_t, seed=seed
+            )
         self.use_raw = use_raw
         self.augment = augment
 
@@ -209,7 +215,8 @@ class NuScenesLargeRangeDataset(_NuScenesBase):
 
         # full-circle yaw + (tx, tz) in +-10 m (ref :118-126)
         Pr = T.generate_random_transform(
-            self.rng, 10.0, 0.0, 10.0, 0.0, 2 * np.pi, 0.0
+            self.rng, 10.0, 0.0, 10.0, 0.0, 2 * np.pi, 0.0,
+            clip_tz=False,  # full +-10 m (ref nuscenes_loader_proj_nolidar)
         )
         Pr_inv = np.linalg.inv(Pr)
         decalib_q, decalib_t = T.decalib_ground_truth(Pr_inv[:3, :])

@@ -36,13 +36,19 @@ def generate_random_transform(
     rx_amp: float,
     ry_amp: float,
     rz_amp: float,
+    clip_tz: bool = True,
 ) -> np.ndarray:
-    """Uniform pose perturbation; tz upper bound clipped to 1.0 m
-    (ref kitti_odometry_cmr.py:355-372)."""
+    """Uniform pose perturbation.
+
+    clip_tz=True clips the tz upper bound to 1.0 m — the CMR-protocol
+    samplers do this (ref kitti_odometry_cmr.py:355-372); the large-range
+    samplers do NOT (ref kitti_odometry_corr_lidarnone_proj.py:394-396
+    samples the full +-10 m) and must pass clip_tz=False.
+    """
     t = [
         rng.uniform(-tx_amp, tx_amp),
         rng.uniform(-ty_amp, ty_amp),
-        rng.uniform(-tz_amp, min(tz_amp, 1.0)),
+        rng.uniform(-tz_amp, min(tz_amp, 1.0) if clip_tz else tz_amp),
     ]
     angles = [
         rng.uniform(-rx_amp, rx_amp),

@@ -96,7 +96,10 @@ def registration_loss(
     (ref compute_loss.py:102-133 Get_loss).
 
     out3/out4: (B, 7) [q, t]; returns (loss_sum, quat_loss, trans_loss).
-    Level weighting: 1.6 * refined + 0.8 * coarse.
+    Level weighting follows the reference exactly: Get_loss names out3's
+    terms l2_* and out4's terms l3_*, and sums 1.6 * l3 + 0.8 * l2 — i.e.
+    1.6 on the COARSE (out4) level and 0.8 on the refined (out3) level
+    (ref :127).
     """
 
     def level_loss(out):
@@ -114,8 +117,8 @@ def registration_loss(
 
     sx = sx.reshape(())
     sq = sq.reshape(())
-    l3_loss_q, l3_loss_x = level_loss(out3)
-    l2_loss_q, l2_loss_x = level_loss(out4)
+    l2_loss_q, l2_loss_x = level_loss(out3)  # ref: out3 -> l2_* (weight 0.8)
+    l3_loss_q, l3_loss_x = level_loss(out4)  # ref: out4 -> l3_* (weight 1.6)
     l3 = l3_loss_x * jnp.exp(-sx) + sx + l3_loss_q * jnp.exp(-sq) + sq
     l2 = l2_loss_x * jnp.exp(-sx) + sx + l2_loss_q * jnp.exp(-sq) + sq
     loss_sum = 1.6 * l3 + 0.8 * l2

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from i2pnet_tpu.config import I2PNetConfig
@@ -81,6 +82,10 @@ class I2PNet(nn.Module):
 
         if cfg.raw_feat_point and raw_xyz is None:
             raw_xyz = lidar_xyz
+        if now_step is None:
+            # fresh reference models start the delay counter at delay_step
+            # (ref MainModules.py:429 DelayWeight.now_step init)
+            now_step = jnp.asarray(cfg.mask_delay_step, jnp.float32)
 
         # ---- image branch (ref modellearn.py:190-197)
         rgb_feats = RGBEncoder(cfg.rgb_encoder_channels, dtype=cdt, name="rgb_encoder")(
@@ -247,6 +252,18 @@ class I2PNet(nn.Module):
                 )
             else:
                 l3_mask_for_head = gt_l3
+        if (
+            not cfg.layer_mask[1]
+            and cfg.ground_truth_mask_layer[1]
+            and gt_project is None
+        ):
+            # eval-time fallback for gt-mask-trained models: synthesize the
+            # mask from the coarse pose (ref modellearn.py:338-341)
+            from i2pnet_tpu.losses import get_projection_gt
+
+            l3_mask_for_head = jax.nn.one_hot(
+                get_projection_gt(P3, intrinsic, (H, W), q4, t4), 2
+            )
 
         # ---- residual pose (ref :344-346)
         q3, t3, W_l3 = PoseHead(

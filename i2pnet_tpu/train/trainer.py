@@ -91,8 +91,13 @@ class Trainer:
         )
         steps_per_epoch = max(len(self.train_loader), 1)
 
-        # build state from one sample batch
-        sample = to_model_batch(next(iter(self.train_loader)))
+        # build state from one sample batch (assembled directly — iterating
+        # the loader here would abandon its prefetch thread mid-queue and
+        # consume dataset rng draws concurrently with the first epoch)
+        from i2pnet_tpu.data.pipeline import collate
+
+        samples = [train_dataset[i % len(train_dataset)] for i in range(batch_size)]
+        sample = to_model_batch(collate(samples, device_only=True))
         sample = {k: jnp.asarray(v) for k, v in sample.items()}
         init_args = self._model_args(sample)
         variables = self.model.init(jax.random.key(seed), *init_args, train=False)

@@ -43,10 +43,10 @@ def build(args):
     proj = args.network.startswith("i2pnet_proj")
     if proj:
         cfg = I2PNetProjConfig.tiny() if args.tiny else I2PNetProjConfig()
-        if args.network == "i2pnet_proj_iter":
-            cfg = dataclasses.replace(cfg, refine_iters=6)
         if args.dataset.startswith("nus") and not args.tiny:
             cfg = I2PNetProjConfig.nuscenes()
+        if args.network == "i2pnet_proj_iter":
+            cfg = dataclasses.replace(cfg, refine_iters=6)
         model = I2PNetProj(cfg)
     else:
         cfg = I2PNetConfig.tiny() if args.tiny else I2PNetConfig()
