@@ -203,3 +203,36 @@ def test_forward_parity_with_reference():
     np.testing.assert_allclose(got_out3, ref_out3, atol=2e-4, rtol=1e-3)
     # learned loss weights round-trip
     np.testing.assert_allclose(np.asarray(got["sq"]), sd["sq"], atol=1e-7)
+
+
+def test_loss_parity_with_reference():
+    """registration_loss == reference Get_loss (incl. the level-weight
+    orientation: 1.6 on out4/coarse, 0.8 on out3/refined)."""
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REF)
+    _install_stubs()
+    from compute_loss import Get_loss
+
+    from i2pnet_tpu.losses import registration_loss
+
+    class _Cfg:
+        l1_trans_loss = True
+
+    rng = np.random.default_rng(0)
+    out3 = torch.from_numpy(rng.normal(size=(4, 7)).astype(np.float32))
+    out4 = torch.from_numpy(rng.normal(size=(4, 7)).astype(np.float32))
+    q_gt = torch.from_numpy(rng.normal(size=(4, 4)).astype(np.float32))
+    t_gt = torch.from_numpy(rng.normal(size=(4, 3)).astype(np.float32))
+    sx = torch.tensor([0.3])
+    sq = torch.tensor([-1.2])
+    ref_loss, ref_q, ref_x = Get_loss(out3, out4, q_gt, t_gt, sx, sq, _Cfg)
+
+    loss, lq, lx = registration_loss(
+        jnp.asarray(out3.numpy()), jnp.asarray(out4.numpy()),
+        jnp.asarray(q_gt.numpy()), jnp.asarray(t_gt.numpy()),
+        jnp.asarray(sx.numpy()), jnp.asarray(sq.numpy()), l1_trans=True,
+    )
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(lq), float(ref_q), rtol=1e-5)
+    np.testing.assert_allclose(float(lx), float(ref_x), rtol=1e-5)

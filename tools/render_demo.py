@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Sequential demo renderer (ref /root/reference/evaluation_cmr_demo.py and
+the *_demo loaders): walk a dataset in order, run the model, and write
+init/pred/gt projection panels per frame — the frames behind the
+reference's demo videos.
+
+Usage:
+  python tools/render_demo.py --dataset kd_cmr_snr --root_path /dataset \
+      --model_dir log/cmr --out demo_frames [--frames 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="kd_cmr_snr",
+                    choices=["kd_cmr_snr", "kd_corr_nolidar"])
+    ap.add_argument("--network", default="i2pnet")
+    ap.add_argument("--root_path", default="/dataset")
+    ap.add_argument("--model_dir", required=True)
+    ap.add_argument("--best", default="model_rotation_best")
+    ap.add_argument("--out", default="demo_frames")
+    ap.add_argument("--frames", type=int, default=50)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from i2pnet_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+    import jax
+    import jax.numpy as jnp
+
+    import evaluate as eval_cli
+    from i2pnet_tpu import metrics as M
+    from i2pnet_tpu.eval.visualize import render_comparison, save_image
+
+    # reuse evaluate.py's builders for model/dataset/checkpoint
+    eval_args = eval_cli.parse_args(
+        [
+            "--dataset", args.dataset, "--network", args.network,
+            "--root_path", args.root_path, "--model_dir", args.model_dir,
+            "--best", args.best, "--seed", str(args.seed),
+        ]
+        + (["--tiny"] if args.tiny else [])
+    )
+    import argparse as _ap
+
+    import train as train_cli
+
+    build_args = _ap.Namespace(**vars(eval_args), max_epoch=0)
+    model, cfg, proj, _, _ = train_cli.build(build_args)
+
+    # dataset + params (mirror evaluate.py's test-split construction)
+    ds_args = dict(mode="test", seed=args.seed)
+    if args.tiny:
+        ds_args.update(img_H=64, img_W=128, sample_point=cfg.lidar_in_points
+                       if not proj else 2048)
+    from i2pnet_tpu.data import KittiLargeRangeDataset, KittiOdometryCMRDataset
+
+    if args.dataset == "kd_cmr_snr":
+        test_ds = KittiOdometryCMRDataset(args.root_path, **ds_args)
+    else:
+        test_ds = KittiLargeRangeDataset(args.root_path, **ds_args)
+
+    from i2pnet_tpu.train.checkpoint import CheckpointManager
+    from i2pnet_tpu.train.state import create_train_state
+
+    s = test_ds[0]
+    rgb = jnp.asarray(s["rgb"])[None]
+    lidar = jnp.asarray(s["lidar"])[None]
+    intr = jnp.asarray(s["init_intrinsic"])[None]
+    raw = jnp.asarray(s["raw_point_xyz"])[None]
+    if proj:
+        variables = model.init(jax.random.key(0), rgb, lidar, raw, intr, train=False)
+    else:
+        variables = model.init(jax.random.key(0), rgb, lidar, intr, train=False)
+    ckpt = CheckpointManager(args.model_dir)
+    if args.best == "latest":
+        state, _ = ckpt.restore(create_train_state(model, variables))
+        params, bstats = state.params, state.batch_stats
+    else:
+        restored = ckpt.restore_best(
+            args.best,
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})},
+        )
+        params, bstats = restored["params"], restored["batch_stats"]
+
+    def fwd(rgb, lidar, raw, intr):
+        v = {"params": params, "batch_stats": bstats}
+        if proj:
+            return model.apply(v, rgb, lidar, raw, intr, train=False)["out3"]
+        return model.apply(v, rgb, lidar, intr, raw_xyz=raw, train=False)["out3"]
+
+    fwd = jax.jit(fwd)
+    os.makedirs(args.out, exist_ok=True)
+    for i in range(min(args.frames, len(test_ds))):
+        s = test_ds[i]
+        out3 = np.asarray(
+            fwd(
+                jnp.asarray(s["rgb"])[None],
+                jnp.asarray(s["lidar"])[None],
+                jnp.asarray(s["raw_point_xyz"])[None],
+                jnp.asarray(s["init_intrinsic"])[None],
+            )
+        )
+        pred_E, gt_E = M.get_extrinsic(
+            out3, s["decalib_real_gt"][None], s["decalib_dual_gt"][None],
+            s["init_extrinsic"][None],
+        )
+        # project the decalibrated cloud through identity (= initial pose),
+        # the predicted correction, and the gt correction
+        rgb_u8 = np.clip(s["rgb"], 0, 255).astype(np.uint8)
+        panel = render_comparison(
+            rgb_u8,
+            s["lidar"],
+            np.eye(3, 4, dtype=np.float32),
+            _decalib_E(out3[0]),
+            _decalib_E(
+                np.concatenate([s["decalib_real_gt"], s["decalib_dual_gt"]])
+            ),
+            s["init_intrinsic"],
+        )
+        save_image(os.path.join(args.out, f"frame_{i:06d}.png"), panel)
+    print(f"wrote {min(args.frames, len(test_ds))} frames to {args.out}")
+
+
+def _decalib_E(qt7: np.ndarray) -> np.ndarray:
+    from i2pnet_tpu import metrics as M
+
+    R = M.quat_to_rotmat_batch(qt7[None, :4])[0]
+    return np.concatenate([R, qt7[4:].reshape(3, 1)], axis=1).astype(np.float32)
+
+
+if __name__ == "__main__":
+    main()
