@@ -33,6 +33,8 @@ def parse_args(argv=None):
     p.add_argument("--test_rt", default=None,
                    help="CSV of fixed test decalibrations (rx ry rz tx ty tz)")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--analyze", action="store_true")
     return p.parse_args(argv)
 

@@ -33,6 +33,9 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="tiny config (smoke testing)")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="conv/dense compute dtype (params stay f32)")
     return p.parse_args(argv)
 
 
@@ -47,9 +50,11 @@ def build(args):
             cfg = I2PNetProjConfig.nuscenes()
         if args.network == "i2pnet_proj_iter":
             cfg = dataclasses.replace(cfg, refine_iters=6)
+        cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
         model = I2PNetProj(cfg)
     else:
         cfg = I2PNetConfig.tiny() if args.tiny else I2PNetConfig()
+        cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
         model = I2PNet(cfg)
 
     from i2pnet_tpu.data import (
