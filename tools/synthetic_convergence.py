@@ -80,6 +80,8 @@ def main():
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--proj", action="store_true",
+                    help="projection model (large-range protocol shapes)")
     ap.add_argument("--img_h", type=int, default=160)
     ap.add_argument("--img_w", type=int, default=512)
     ap.add_argument("--report_every", type=int, default=50)
@@ -93,31 +95,62 @@ def main():
     import jax
 
     from i2pnet_tpu import metrics as M
-    from i2pnet_tpu.config import I2PNetConfig
-    from i2pnet_tpu.models import I2PNet
-    from i2pnet_tpu.train import create_train_state, make_train_step
+    from i2pnet_tpu.config import I2PNetConfig, I2PNetProjConfig
+    from i2pnet_tpu.models import I2PNet, I2PNetProj
+    from i2pnet_tpu.train import (
+        create_train_state,
+        make_train_step,
+        make_train_step_proj,
+    )
 
-    cfg = I2PNetConfig.tiny() if args.tiny else I2PNetConfig()
-    if not args.tiny:
-        cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
-    model = I2PNet(cfg)
+    if args.proj:
+        cfg = I2PNetProjConfig.tiny() if args.tiny else I2PNetProjConfig()
+        # synthetic clouds are dense everywhere; loosen the lv1 radius so
+        # windows find neighbors (KITTI's 0.75 m assumes real scan density)
+        cfg = dataclasses.replace(cfg, down_conv_dis=(3.0,) + cfg.down_conv_dis[1:])
+        model = I2PNetProj(cfg)
+        # config object for the point budget used by make_batch
+        cfg_pts = dataclasses.replace(
+            I2PNetConfig(), lidar_in_points=20000 if not args.tiny else 2048
+        )
+    else:
+        cfg = I2PNetConfig.tiny() if args.tiny else I2PNetConfig()
+        if not args.tiny:
+            cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+        model = I2PNet(cfg)
+        cfg_pts = cfg
 
     rng = np.random.default_rng(0)
-    batch = make_batch(rng, cfg, args.batch, args.img_h, args.img_w)
-    variables = model.init(
-        jax.random.key(0), batch["rgb"], batch["lidar"], batch["intrinsic"],
-        train=False,
-    )
+    batch = make_batch(rng, cfg_pts, args.batch, args.img_h, args.img_w)
+    if args.proj:
+        batch["raw_xyz"] = batch["lidar"]  # raw frame == decalibrated frame
+        variables = model.init(
+            jax.random.key(0), batch["rgb"], batch["lidar"], batch["raw_xyz"],
+            batch["intrinsic"], train=False,
+        )
+        step_fn = make_train_step_proj(model, cfg)
+    else:
+        variables = model.init(
+            jax.random.key(0), batch["rgb"], batch["lidar"], batch["intrinsic"],
+            train=False,
+        )
+        step_fn = make_train_step(model, cfg)
     state = create_train_state(model, variables, lr=1e-3, steps_per_epoch=1000)
-    step = jax.jit(make_train_step(model, cfg), donate_argnums=(0,))
-    fwd = jax.jit(
-        lambda s, b: model.apply(
-            {"params": s.params, "batch_stats": s.batch_stats},
-            b["rgb"], b["lidar"], b["intrinsic"], train=False,
-        )["out3"]
-    )
+    step = jax.jit(step_fn, donate_argnums=(0,))
 
-    eval_batch = make_batch(rng, cfg, args.batch, args.img_h, args.img_w)
+    def _fwd(s, b):
+        v = {"params": s.params, "batch_stats": s.batch_stats}
+        if args.proj:
+            return model.apply(
+                v, b["rgb"], b["lidar"], b["raw_xyz"], b["intrinsic"], train=False
+            )["out3"]
+        return model.apply(v, b["rgb"], b["lidar"], b["intrinsic"], train=False)["out3"]
+
+    fwd = jax.jit(_fwd)
+
+    eval_batch = make_batch(rng, cfg_pts, args.batch, args.img_h, args.img_w)
+    if args.proj:
+        eval_batch["raw_xyz"] = eval_batch["lidar"]
     init_E = np.tile(np.eye(3, 4, dtype=np.float32)[None], (args.batch, 1, 1))
 
     def report(tag):
@@ -136,7 +169,9 @@ def main():
     t0 = time.time()
     for i in range(1, args.steps + 1):
         if i % 10 == 1:  # fresh decalibrations, same scene distribution
-            batch = make_batch(rng, cfg, args.batch, args.img_h, args.img_w)
+            batch = make_batch(rng, cfg_pts, args.batch, args.img_h, args.img_w)
+            if args.proj:
+                batch["raw_xyz"] = batch["lidar"]
         state, m = step(state, batch, jax.random.key(i))
         if i % args.report_every == 0:
             report(f"step {i} (loss {float(m['loss']):.3f})")
