@@ -251,16 +251,26 @@ def grouping(
     When raw coordinates are given, neighbor indices come from src/q xyz but
     the geometric diff is computed in raw coordinates
     (ref src/modules/point_utils.py:68-111 grouping with raw_feat_point).
+
+    All co-indexed arrays are packed into ONE gather: TPU gathers are
+    per-row latency-bound, so one wide gather beats two or three narrow
+    ones over the same indices.
     """
     idx = knn_point(K, src_xyz, q_xyz)
-    grouped_xyz = index_points(src_xyz, idx)
+    parts = [src_xyz]
+    if raw_src_xyz is not None:
+        parts.append(raw_src_xyz)
+    parts.append(feature)
+    packed = index_points(jnp.concatenate(parts, axis=-1), idx)
+    grouped_xyz = packed[..., :3]
     grouped_raw = None
     if raw_src_xyz is not None:
-        grouped_raw = index_points(raw_src_xyz, idx)
+        grouped_raw = packed[..., 3:6]
+        grouped_feature = packed[..., 6:]
         xyz_diff = grouped_raw - raw_q_xyz[:, :, None, :]
     else:
+        grouped_feature = packed[..., 3:]
         xyz_diff = grouped_xyz - q_xyz[:, :, None, :]
-    grouped_feature = index_points(feature, idx)
     return grouped_xyz, xyz_diff, grouped_feature, idx, grouped_raw
 
 
@@ -297,12 +307,16 @@ def sample_and_group(
 
     idx = knn_point(nsample, xyz, new_xyz)
 
-    if raw_xyz is not None:
-        grouped_xyz = index_points(raw_xyz, idx)
-        center = new_raw_xyz
+    # pack every co-indexed array into one gather (see grouping())
+    src = raw_xyz if raw_xyz is not None else xyz
+    center = new_raw_xyz if raw_xyz is not None else new_xyz
+    need_points = feat_mode not in ("dim10feat", "dist") and points is not None
+    if need_points:
+        packed = index_points(jnp.concatenate([src, points], axis=-1), idx)
+        grouped_xyz = packed[..., :3]
+        grouped_points = packed[..., 3:]
     else:
-        grouped_xyz = index_points(xyz, idx)
-        center = new_xyz
+        grouped_xyz = index_points(src, idx)
     grouped_xyz_norm = grouped_xyz - center[:, :, None, :]
 
     if feat_mode == "dim10feat":
@@ -315,7 +329,6 @@ def sample_and_group(
         new_points = safe_norm(grouped_xyz_norm, axis=-1, keepdims=True)
     else:
         if points is not None:
-            grouped_points = index_points(points, idx)
             new_points = jnp.concatenate([grouped_xyz_norm, grouped_points], axis=-1)
         else:
             new_points = grouped_xyz_norm
