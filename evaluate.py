@@ -70,18 +70,13 @@ def main(argv=None):
     elif args.dataset == "kd_cmr_snr":
         if args.tiny:
             ds_args.update(sample_point=cfg.lidar_in_points)
+        # fixed decalibration table (ref cmr_test.bash 10-seed protocol):
+        # a CSV overrides the dataset's deterministic generated default
+        if args.test_rt:
+            import pandas as pd
+
+            ds_args["test_rt"] = pd.read_csv(args.test_rt).to_numpy()[:, :6]
         test_ds = KittiOdometryCMRDataset(args.root_path, **ds_args)
-        if test_ds.test_RT is None:
-            # fixed decalibration table (ref cmr_test.bash 10-seed protocol):
-            # load a CSV if given, else generate deterministically per seed
-            if args.test_rt:
-                import pandas as pd
-
-                test_ds.test_RT = pd.read_csv(args.test_rt).to_numpy()[:, :6]
-            else:
-                from i2pnet_tpu.data.preprocess import generate_test_rt
-
-                test_ds.test_RT = generate_test_rt(len(test_ds), seed=args.seed)
     elif args.dataset == "kitti":
         # online calibration protocol (ref evaluation.py): fixed-amplitude
         # decalibrations on the raw test drives
@@ -102,17 +97,14 @@ def main(argv=None):
 
         splits = sorted(_g.glob(f"{args.root_path}/test_dataset*.list"))
         if args.dataset == "nus_cmr_snr":
-            test_ds = NuScenesCMRDataset(
-                args.root_path, splits, mode="test", seed=args.seed
-            )
+            nus_kw = {}
             if args.test_rt:
                 import pandas as pd
 
-                test_ds.test_RT = pd.read_csv(args.test_rt).to_numpy()[:, :6]
-            else:
-                from i2pnet_tpu.data.preprocess import generate_test_rt
-
-                test_ds.test_RT = generate_test_rt(len(test_ds), seed=args.seed)
+                nus_kw["test_rt"] = pd.read_csv(args.test_rt).to_numpy()[:, :6]
+            test_ds = NuScenesCMRDataset(
+                args.root_path, splits, mode="test", seed=args.seed, **nus_kw
+            )
         else:
             test_ds = NuScenesLargeRangeDataset(
                 args.root_path, splits, mode="test", seed=args.seed

@@ -135,6 +135,7 @@ class NuScenesCMRDataset(_NuScenesBase):
             Pr = T.generate_random_transform(
                 self.rng, self.t_amp, self.t_amp, self.t_amp,
                 self.r_amp, self.r_amp, self.r_amp,
+                clip_tz=False,  # ref nuscenes_loader_cmr.py:232-234: no clip
             )
         else:
             rx, ry, rz, tx, ty, tz = self.test_RT[index]

@@ -147,10 +147,16 @@ def build_local_maps(
 
 
 def generate_test_rt(
-    n: int, max_r_deg: float = 10.0, max_t: float = 2.0, seed: int = 0
+    n: int,
+    max_r_deg: float = 10.0,
+    max_t: float = 2.0,
+    seed: int = 0,
+    clip_tz: bool = False,
 ) -> np.ndarray:
     """Fixed test decalibration table (rows [rx, ry, rz, tx, ty, tz] in
-    rad/m), the artifact behind test_RT_*.csv / .pkl."""
+    rad/m), the artifact behind test_RT_*.csv / .pkl. clip_tz mirrors the
+    KITTI-CMR train sampler's tz<=1 m quirk; tables default to the full
+    range."""
     rng = np.random.default_rng(seed)
     r = np.deg2rad(max_r_deg)
     rt = np.stack(
@@ -160,7 +166,7 @@ def generate_test_rt(
             rng.uniform(-r, r, n),
             rng.uniform(-max_t, max_t, n),
             rng.uniform(-max_t, max_t, n),
-            rng.uniform(-max_t, min(max_t, 1.0), n),
+            rng.uniform(-max_t, min(max_t, 1.0) if clip_tz else max_t, n),
         ],
         axis=1,
     )

@@ -40,10 +40,11 @@ def generate_random_transform(
 ) -> np.ndarray:
     """Uniform pose perturbation.
 
-    clip_tz=True clips the tz upper bound to 1.0 m — the CMR-protocol
-    samplers do this (ref kitti_odometry_cmr.py:355-372); the large-range
-    samplers do NOT (ref kitti_odometry_corr_lidarnone_proj.py:394-396
-    samples the full +-10 m) and must pass clip_tz=False.
+    clip_tz=True clips the tz upper bound to 1.0 m — ONLY the KITTI CMR
+    sampler does this (ref kitti_odometry_cmr.py:355-372); the nuScenes CMR
+    and both large-range samplers sample the full range (ref
+    nuscenes_loader_cmr.py:232-234, kitti_odometry_corr_lidarnone_proj.py:
+    394-396) and must pass clip_tz=False.
     """
     t = [
         rng.uniform(-tx_amp, tx_amp),

@@ -100,7 +100,12 @@ class Trainer:
         sample = to_model_batch(collate(samples, device_only=True))
         sample = {k: jnp.asarray(v) for k, v in sample.items()}
         init_args = self._model_args(sample)
-        variables = self.model.init(jax.random.key(seed), *init_args, train=False)
+        init_kw = {"lidar_feature": sample.get("lidar_feats")}
+        if not proj:
+            init_kw["raw_xyz"] = sample.get("raw_xyz")
+        variables = self.model.init(
+            jax.random.key(seed), *init_args, train=False, **init_kw
+        )
         self.state = create_train_state(
             self.model,
             variables,

@@ -77,4 +77,6 @@ def test_generate_test_rt_deterministic():
     np.testing.assert_array_equal(a, b)
     assert a.shape == (16, 6)
     assert np.abs(a[:, :3]).max() <= np.deg2rad(10.0)
-    assert a[:, 5].max() <= 1.0  # tz clipped like the train sampler
+    assert a[:, 5].max() <= 2.0  # full range by default
+    c = PP.generate_test_rt(64, seed=3, clip_tz=True)
+    assert c[:, 5].max() <= 1.0  # KITTI-CMR tz quirk on request

@@ -80,10 +80,17 @@ def main():
     lidar = jnp.asarray(s["lidar"])[None]
     intr = jnp.asarray(s["init_intrinsic"])[None]
     raw = jnp.asarray(s["raw_point_xyz"])[None]
+    feats = jnp.asarray(s["lidar_feats"])[None]
     if proj:
-        variables = model.init(jax.random.key(0), rgb, lidar, raw, intr, train=False)
+        variables = model.init(
+            jax.random.key(0), rgb, lidar, raw, intr,
+            lidar_feature=feats, train=False,
+        )
     else:
-        variables = model.init(jax.random.key(0), rgb, lidar, intr, train=False)
+        variables = model.init(
+            jax.random.key(0), rgb, lidar, intr,
+            lidar_feature=feats, raw_xyz=raw, train=False,
+        )
     ckpt = CheckpointManager(args.model_dir)
     if args.best == "latest":
         state, _ = ckpt.restore(create_train_state(model, variables))
@@ -96,11 +103,15 @@ def main():
         )
         params, bstats = restored["params"], restored["batch_stats"]
 
-    def fwd(rgb, lidar, raw, intr):
+    def fwd(rgb, lidar, raw, intr, feats):
         v = {"params": params, "batch_stats": bstats}
         if proj:
-            return model.apply(v, rgb, lidar, raw, intr, train=False)["out3"]
-        return model.apply(v, rgb, lidar, intr, raw_xyz=raw, train=False)["out3"]
+            return model.apply(
+                v, rgb, lidar, raw, intr, lidar_feature=feats, train=False
+            )["out3"]
+        return model.apply(
+            v, rgb, lidar, intr, lidar_feature=feats, raw_xyz=raw, train=False
+        )["out3"]
 
     fwd = jax.jit(fwd)
     os.makedirs(args.out, exist_ok=True)
@@ -112,11 +123,8 @@ def main():
                 jnp.asarray(s["lidar"])[None],
                 jnp.asarray(s["raw_point_xyz"])[None],
                 jnp.asarray(s["init_intrinsic"])[None],
+                jnp.asarray(s["lidar_feats"])[None],
             )
-        )
-        pred_E, gt_E = M.get_extrinsic(
-            out3, s["decalib_real_gt"][None], s["decalib_dual_gt"][None],
-            s["init_extrinsic"][None],
         )
         # project the decalibrated cloud through identity (= initial pose),
         # the predicted correction, and the gt correction
