@@ -74,3 +74,67 @@ def test_entry_compiles():
     out3, out4 = jax.jit(fn)(*args)
     assert out3.shape == (1, 7) and out4.shape == (1, 7)
     assert bool(jnp.isfinite(out3).all())
+
+
+def test_projection_mask_training_path():
+    """End-to-end train step with the projection-mask heads enabled
+    (use_projection_mask + gt delay, ref modellearn.py:150-163, :256-341
+    and compute_loss.py:19-37)."""
+    import dataclasses
+
+    from i2pnet_tpu import metrics as M
+    from i2pnet_tpu.losses import get_projection_gt
+
+    cfg = dataclasses.replace(
+        I2PNetConfig.tiny(),
+        use_projection_mask=True,
+        layer_mask=(True, True),
+        ground_truth_mask_layer=(True, True),
+        mask_delay=True,
+        mask_delay_step=100,
+        projection_mask_mlps=((16, 16), (16, 16)),
+    )
+    model = I2PNet(cfg)
+    batch = _synthetic_batch(cfg)
+    gp_labels = get_projection_gt(
+        batch["lidar"], batch["intrinsic"], (64, 128),
+        batch["decalib_q_gt"], batch["decalib_t_gt"],
+    )
+    batch["gt_project"] = jax.nn.one_hot(gp_labels, 2)
+
+    variables = model.init(
+        jax.random.key(0), batch["rgb"], batch["lidar"], batch["intrinsic"],
+        gt_project=batch["gt_project"], train=False,
+    )
+    state = create_train_state(model, variables, lr=1e-3, steps_per_epoch=100)
+    step = jax.jit(make_train_step(model, cfg), donate_argnums=(0,))
+    losses = []
+    for i in range(4):
+        state, m = step(state, batch, jax.random.key(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all(), losses
+
+    # eval: mask heads produce logits; eval_acc computes accuracy vs gt
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["rgb"], batch["lidar"], batch["intrinsic"], train=False,
+    )
+    assert out["pm3"] is not None and out["pm4"] is not None
+    pm3_logits = np.asarray(out["pm3"][0])
+    assert pm3_logits.shape[-1] == 2
+    # gt labels at l3 need the fps subsampling; just check accuracy math runs
+    acc = M.eval_acc(pm3_logits, np.zeros(pm3_logits.shape[:2], np.int64))
+    assert acc.shape == (2,)
+
+
+def test_timings_profiler():
+    from i2pnet_tpu.utils import Timings
+
+    t = Timings()
+    t.reset()
+    x = jnp.ones((64, 64))
+    y = x @ x
+    t.time("matmul", y)
+    s = t.summary()
+    assert "matmul" in s and s["matmul"]["count"] == 1
+    assert str(t)
