@@ -150,13 +150,18 @@ def spherical_project(
     has_winner = (winner_idx < N)[..., None]
     safe_idx = jnp.minimum(winner_idx, N - 1)
 
-    def scatter(values: jnp.ndarray) -> jnp.ndarray:
-        picked = jnp.take_along_axis(values, safe_idx[..., None], axis=1)
-        picked = jnp.where(has_winner, picked, 0.0)
-        return picked.reshape(B, H, W, values.shape[-1])
-
-    xyz_proj = scatter(xyz)
-    feat_projs = [scatter(f) for f in features]
+    # ONE packed winner gather for xyz + all feature arrays (TPU gathers are
+    # per-row latency-bound; see ops.pointops.grouping)
+    packed = jnp.concatenate([xyz] + list(features), axis=-1)
+    picked = jnp.take_along_axis(packed, safe_idx[..., None], axis=1)
+    picked = jnp.where(has_winner, picked, 0.0)
+    picked = picked.reshape(B, H, W, packed.shape[-1])
+    xyz_proj = picked[..., :3]
+    feat_projs = []
+    off = 3
+    for f in features:
+        feat_projs.append(picked[..., off : off + f.shape[-1]])
+        off += f.shape[-1]
     if ref_pad_quirk:
         keep = jnp.where(jnp.all(valid, axis=1), 1.0, 0.0)[:, None]  # (B,1)
         xyz_proj = xyz_proj.at[:, 0, W // 2, :].multiply(keep)
