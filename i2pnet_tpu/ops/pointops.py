@@ -334,3 +334,28 @@ def sample_and_group(
             new_points = grouped_xyz_norm
 
     return new_xyz, new_points, fps_idx, new_raw_xyz
+
+
+def mask_grouping(
+    feature: jnp.ndarray,
+    K: int,
+    src_xyz: jnp.ndarray,
+    q_xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    use_xyz: bool = False,
+):
+    """KNN-group restricted to mask==1 source points
+    (ref src/modules/point_utils.py:35-65 mask_grouping).
+
+    Returns (grouped_xyz (B,S,K,3), xyz_diff, new_points, idx).
+    """
+    idx = masked_knn_point(K, src_xyz, q_xyz, mask)
+    packed = index_points(jnp.concatenate([src_xyz, feature], axis=-1), idx)
+    grouped_xyz = packed[..., :3]
+    grouped_feature = packed[..., 3:]
+    xyz_diff = grouped_xyz - q_xyz[:, :, None, :]
+    if use_xyz:
+        new_points = jnp.concatenate([xyz_diff, grouped_feature], axis=-1)
+    else:
+        new_points = grouped_feature
+    return grouped_xyz, xyz_diff, new_points, idx

@@ -192,3 +192,19 @@ def test_knn_exact_flag_paths():
     # on CPU the approximate path lowers to an exact reduction
     approx = np.asarray(P.knn_point(8, xyz, q, exact=False))
     np.testing.assert_array_equal(np.sort(exact, -1), np.sort(approx, -1))
+
+
+def test_mask_grouping():
+    rng = np.random.default_rng(13)
+    src = jnp.asarray(rng.normal(size=(1, 32, 3)).astype(np.float32))
+    q = src[:, :4]
+    feats = jnp.asarray(rng.normal(size=(1, 32, 5)).astype(np.float32))
+    mask = np.ones((1, 32), np.float32)
+    mask[0, :16] = 0.0
+    gx, diff, newp, idx = P.mask_grouping(feats, 3, src, q, jnp.asarray(mask))
+    assert (np.asarray(idx) >= 16).all()
+    assert newp.shape == (1, 4, 3, 5)
+    gx2, d2, newp2, _ = P.mask_grouping(
+        feats, 3, src, q, jnp.asarray(mask), use_xyz=True
+    )
+    assert newp2.shape == (1, 4, 3, 8)
