@@ -220,3 +220,19 @@ def quaternion_distance(q: np.ndarray, r: np.ndarray) -> np.ndarray:
         axis=-1,
     )
     return 2 * np.arctan2(np.linalg.norm(t[:, 1:], axis=1), np.abs(t[:, 0]))
+
+
+def get_extrinsic_rt(
+    R: np.ndarray,
+    t: np.ndarray,
+    decalib_q_gt: np.ndarray,
+    decalib_t_gt: np.ndarray,
+    init_extrinsic: np.ndarray,
+):
+    """getExtrinsic for rotation-matrix outputs (ref metric.py:150-164)."""
+    pred_E = np.concatenate([R, t.reshape(-1, 3, 1)], axis=-1)
+    pred_extrinsic = mult_extrinsic_batch(pred_E, init_extrinsic)
+    gt_R = quat_to_rotmat_batch(decalib_q_gt)
+    gt_E = np.concatenate([gt_R, decalib_t_gt.reshape(-1, 3, 1)], axis=-1)
+    gt_extrinsic = mult_extrinsic_batch(gt_E, init_extrinsic)
+    return pred_extrinsic, gt_extrinsic

@@ -406,3 +406,16 @@ def select_window_features(
     )
     candidates = jnp.concatenate([candidates, zero_pix], axis=2)
     return jnp.take_along_axis(candidates, args[..., None], axis=2)
+
+
+def pixel_posinfo(B: int, H: int, W: int, intrinsic: jnp.ndarray) -> jnp.ndarray:
+    """Normalized-plane coordinates of every pixel center: K^-1 @ [u, v, 1]
+    (ref src/projectPN/utils.py:297-308 get_pixel_posinfo). Returns
+    (B, H, W, 3)."""
+    h = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    w = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    grid = jnp.stack([w, h, jnp.ones_like(w)], axis=-1).reshape(1, H * W, 3)
+    grid = jnp.broadcast_to(grid, (B, H * W, 3))
+    K_inv = jnp.linalg.inv(intrinsic.astype(jnp.float32))
+    out = jnp.einsum("bij,bnj->bni", K_inv, grid)
+    return out.reshape(B, H, W, 3)

@@ -175,3 +175,32 @@ def pose_to_matrix(q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """(q (B,4), t (B,3)) -> extrinsic (B, 3, 4) (ref compute_loss.py:40-63)."""
     R = quat_to_rotmat(q)
     return jnp.concatenate([R, t[..., None]], axis=-1)
+
+
+def warp_with_calib(
+    xyz: jnp.ndarray,
+    q: jnp.ndarray,
+    t: jnp.ndarray,
+    calib: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Warp by (q, t), then project through a (B, 3or4, 4) calib matrix to
+    the normalized plane (ref warp_utils.py:97-131 warp_quat_EFGH:
+    calib @ (q p q' + t) then divide by z)."""
+    warped = warp_points(xyz, q, t)
+    cam = jnp.einsum(
+        "bij,bnj->bni", calib[:, :3, :3], warped
+    ) + calib[:, None, :3, 3]
+    z = cam[..., 2:3]
+    return cam / (z + _EPS), z
+
+
+def project_with_calib(
+    xyz: jnp.ndarray, calib: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Project through a calib matrix without a warp
+    (ref warp_utils.py:133-146 projection_initial_EFGH)."""
+    cam = jnp.einsum(
+        "bij,bnj->bni", calib[:, :3, :3], xyz
+    ) + calib[:, None, :3, 3]
+    z = cam[..., 2:3]
+    return cam / (z + _EPS), z

@@ -177,3 +177,16 @@ def test_average_meter():
     m.update(1.0)
     m.update(3.0, n=3)
     assert m.avg == 2.5 and m.count == 4
+
+
+def test_get_extrinsic_rt_matches_quat_path():
+    rng = np.random.default_rng(9)
+    q = Rotation.random(3, random_state=1).as_quat()[:, [3, 0, 1, 2]]
+    t = rng.normal(size=(3, 3))
+    init_E = np.tile(np.eye(3, 4)[None], (3, 1, 1))
+    out3 = np.concatenate([q, t], axis=-1)
+    pe1, ge1 = M.get_extrinsic(out3, q, t, init_E)
+    R = M.quat_to_rotmat_batch(q.astype(np.float64))
+    pe2, ge2 = M.get_extrinsic_rt(R, t, q, t, init_E)
+    np.testing.assert_allclose(pe1, pe2, atol=1e-6)
+    np.testing.assert_allclose(ge1, ge2, atol=1e-6)

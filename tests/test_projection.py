@@ -248,3 +248,13 @@ def test_grid_window_select_matches_generic():
         np.testing.assert_allclose(
             np.asarray(feats_g), np.asarray(feats_f), atol=1e-6
         )
+
+
+def test_pixel_posinfo():
+    K = jnp.asarray([[[50.0, 0, 8], [0, 50.0, 4], [0, 0, 1]]])
+    out = np.asarray(PR.pixel_posinfo(1, 8, 16, K))
+    assert out.shape == (1, 8, 16, 3)
+    # pixel at the principal point maps to (0, 0, 1)
+    np.testing.assert_allclose(out[0, 4, 8], [0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(out[0, 4, 58 % 16], [(58 % 16 - 8) / 50, 0, 1],
+                               atol=1e-6)

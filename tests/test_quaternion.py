@@ -106,3 +106,26 @@ def test_compose_pose_matches_matrix_composition():
     want_t = np.einsum("bij,bj->bi", R3, t4) + t3
     np.testing.assert_allclose(got_R, want_R, atol=1e-5)
     np.testing.assert_allclose(np.asarray(t), want_t, atol=1e-5)
+
+
+def test_warp_with_calib():
+    """EFGH variant: calib @ (q p q' + t) then normalize (ref
+    warp_utils.py:97-131)."""
+    rng = np.random.default_rng(8)
+    q = random_unit_quat(rng, (2,))
+    t = rng.normal(size=(2, 3)).astype(np.float32)
+    xyz = rng.uniform(1, 5, size=(2, 16, 3)).astype(np.float32)
+    calib = np.tile(np.eye(4, dtype=np.float32)[None], (2, 1, 1))
+    calib[:, :3, 3] = [0.1, -0.2, 0.3]
+    uvw, z = Q.warp_with_calib(jnp.array(xyz), jnp.array(q), jnp.array(t),
+                               jnp.array(calib))
+    R = Rotation.from_quat(q[:, [1, 2, 3, 0]]).as_matrix()
+    cam = np.einsum("bij,bnj->bni", R, xyz) + t[:, None, :] + calib[:, None, :3, 3]
+    np.testing.assert_allclose(np.asarray(z)[..., 0], cam[..., 2], atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(uvw)[..., 0], cam[..., 0] / cam[..., 2], atol=1e-4, rtol=1e-4
+    )
+    uvw2, z2 = Q.project_with_calib(jnp.array(xyz), jnp.array(calib))
+    np.testing.assert_allclose(
+        np.asarray(z2)[..., 0], xyz[..., 2] + 0.3, atol=1e-5
+    )
