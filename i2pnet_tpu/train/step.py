@@ -17,64 +17,105 @@ from i2pnet_tpu.config import I2PNetConfig
 from i2pnet_tpu.losses import projection_mask_loss, registration_loss
 
 
-def make_train_step(model, cfg: I2PNetConfig, img_size: Optional[Tuple[int, int]] = None):
-    """Returns train_step(state, batch, rng) -> (state, metrics).
+def _free_point_loss_fn(model, cfg: I2PNetConfig, img_size=None):
+    """loss(params, batch_stats, batch, rng) for the free-point model."""
 
-    batch: dict with rgb (B,H,W,3), lidar (B,N,3), intrinsic (B,3,3),
-    decalib_q_gt (B,4), decalib_t_gt (B,3); optional lidar_feats (B,N,3),
-    raw_xyz (B,N,3), gt_project (B,N).
-    """
-
-    def train_step(state, batch, rng):
-        def loss_fn(params):
-            out, new_model_state = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["rgb"],
-                batch["lidar"],
+    def loss_fn(params, batch_stats, batch, rng):
+        out, new_model_state = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["rgb"],
+            batch["lidar"],
+            batch["intrinsic"],
+            lidar_feature=batch.get("lidar_feats"),
+            raw_xyz=batch.get("raw_xyz"),
+            gt_project=batch.get("gt_project"),
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        loss, loss_q, loss_x = registration_loss(
+            out["out3"],
+            out["out4"],
+            batch["decalib_q_gt"],
+            batch["decalib_t_gt"],
+            out["sx"],
+            out["sq"],
+            l1_trans=cfg.l1_trans_loss,
+        )
+        hw = img_size or batch["rgb"].shape[1:3]
+        for pm in (out["pm3"], out["pm4"]):
+            pl = projection_mask_loss(
+                pm,
                 batch["intrinsic"],
-                lidar_feature=batch.get("lidar_feats"),
-                raw_xyz=batch.get("raw_xyz"),
-                gt_project=batch.get("gt_project"),
-                train=True,
-                mutable=["batch_stats"],
-                rngs={"dropout": rng},
-            )
-            loss, loss_q, loss_x = registration_loss(
-                out["out3"],
-                out["out4"],
+                hw,
                 batch["decalib_q_gt"],
                 batch["decalib_t_gt"],
-                out["sx"],
-                out["sq"],
-                l1_trans=cfg.l1_trans_loss,
+                focal=cfg.focal_mask_loss,
+                focal_gamma=cfg.focal_gamma,
+                sigmoid=cfg.mask_sigmoid,
             )
-            hw = img_size or batch["rgb"].shape[1:3]
-            for pm in (out["pm3"], out["pm4"]):
-                pl = projection_mask_loss(
-                    pm,
-                    batch["intrinsic"],
-                    hw,
-                    batch["decalib_q_gt"],
-                    batch["decalib_t_gt"],
-                    focal=cfg.focal_mask_loss,
-                    focal_gamma=cfg.focal_gamma,
-                    sigmoid=cfg.mask_sigmoid,
-                )
-                if pl is not None:
-                    # mask loss weight 1.5 (ref train20v2learn_wandb.py:784-791)
-                    loss = loss + 1.5 * pl
-            metrics = {
-                "loss": loss,
-                "loss_q": loss_q,
-                "loss_x": loss_x,
-                "sx": out["sx"].reshape(()),
-                "sq": out["sq"].reshape(()),
-            }
-            return loss, (new_model_state, metrics)
+            if pl is not None:
+                # mask loss weight 1.5 (ref train20v2learn_wandb.py:784-791)
+                loss = loss + 1.5 * pl
+        metrics = {
+            "loss": loss,
+            "loss_q": loss_q,
+            "loss_x": loss_x,
+            "sx": out["sx"].reshape(()),
+            "sq": out["sq"].reshape(()),
+        }
+        return loss, (new_model_state, metrics)
 
-        grads, (new_model_state, metrics) = jax.grad(loss_fn, has_aux=True)(
-            state.params
+    return loss_fn
+
+
+def _proj_loss_fn(model, cfg):
+    """loss(params, batch_stats, batch, rng) for the projection-aware model.
+
+    Masks are not used in the proj path (ref train20v2learn_wandb_proj.py
+    drops the mask branches); batch additionally requires raw_xyz (B,N,3).
+    """
+
+    def loss_fn(params, batch_stats, batch, rng):
+        out, new_model_state = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["rgb"],
+            batch["lidar"],
+            batch["raw_xyz"],
+            batch["intrinsic"],
+            lidar_feature=batch.get("lidar_feats"),
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
         )
+        loss, loss_q, loss_x = registration_loss(
+            out["out3"],
+            out["out4"],
+            batch["decalib_q_gt"],
+            batch["decalib_t_gt"],
+            out["sx"],
+            out["sq"],
+            l1_trans=cfg.l1_trans_loss,
+        )
+        metrics = {
+            "loss": loss,
+            "loss_q": loss_q,
+            "loss_x": loss_x,
+            "sx": out["sx"].reshape(()),
+            "sq": out["sq"].reshape(()),
+        }
+        return loss, (new_model_state, metrics)
+
+    return loss_fn
+
+
+def _make_plain_step(loss_fn):
+    def train_step(state, batch, rng):
+        grads, (new_model_state, metrics) = jax.grad(
+            functools.partial(loss_fn, batch_stats=state.batch_stats,
+                              batch=batch, rng=rng),
+            has_aux=True,
+        )(state.params)
         state = state.apply_gradients(
             grads=grads, batch_stats=new_model_state["batch_stats"]
         )
@@ -83,50 +124,80 @@ def make_train_step(model, cfg: I2PNetConfig, img_size: Optional[Tuple[int, int]
     return train_step
 
 
-def make_train_step_proj(model, cfg):
-    """Train step for the projection-aware model (I2PNetProj).
+def make_train_step(model, cfg: I2PNetConfig, img_size: Optional[Tuple[int, int]] = None):
+    """Returns train_step(state, batch, rng) -> (state, metrics).
 
-    batch additionally requires raw_xyz (B,N,3); masks are not used in the
-    proj path (ref train20v2learn_wandb_proj.py drops the mask branches).
+    batch: dict with rgb (B,H,W,3), lidar (B,N,3), intrinsic (B,3,3),
+    decalib_q_gt (B,4), decalib_t_gt (B,3); optional lidar_feats (B,N,3),
+    raw_xyz (B,N,3), gt_project (B,N).
     """
+    return _make_plain_step(_free_point_loss_fn(model, cfg, img_size))
+
+
+def make_train_step_proj(model, cfg):
+    """Train step for the projection-aware model (I2PNetProj)."""
+    return _make_plain_step(_proj_loss_fn(model, cfg))
+
+
+def make_accum_train_step(
+    model,
+    cfg,
+    accum_steps: int,
+    proj: bool = False,
+    img_size: Optional[Tuple[int, int]] = None,
+):
+    """Gradient-accumulation train step: one optimizer update per call,
+    built from `accum_steps` sequential microbatch grads via lax.scan.
+
+    The batch's leading axis B must be divisible by accum_steps; each
+    microbatch has B // accum_steps samples. Grads are averaged across
+    microbatches (same scale as a plain step on the full batch); BN batch
+    stats update sequentially per microbatch, matching torch-style grad
+    accumulation (each microbatch normalizes with its own statistics).
+    The reference has no equivalent — it is capped at what one GPU's
+    memory fits (ref train20v2learn_wandb.py:702); on TPU the scan keeps
+    the working set at microbatch size so effective batch is unbounded.
+
+    accum_steps=1 is bit-identical to the plain step. Metrics are averaged
+    over microbatches.
+    """
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+    loss_fn = (_proj_loss_fn if proj else
+               functools.partial(_free_point_loss_fn, img_size=img_size))(model, cfg)
 
     def train_step(state, batch, rng):
-        def loss_fn(params):
-            out, new_model_state = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["rgb"],
-                batch["lidar"],
-                batch["raw_xyz"],
-                batch["intrinsic"],
-                lidar_feature=batch.get("lidar_feats"),
-                train=True,
-                mutable=["batch_stats"],
-                rngs={"dropout": rng},
-            )
-            loss, loss_q, loss_x = registration_loss(
-                out["out3"],
-                out["out4"],
-                batch["decalib_q_gt"],
-                batch["decalib_t_gt"],
-                out["sx"],
-                out["sq"],
-                l1_trans=cfg.l1_trans_loss,
-            )
-            metrics = {
-                "loss": loss,
-                "loss_q": loss_q,
-                "loss_x": loss_x,
-                "sx": out["sx"].reshape(()),
-                "sq": out["sq"].reshape(()),
-            }
-            return loss, (new_model_state, metrics)
+        B = batch["rgb"].shape[0]
+        if B % accum_steps != 0:
+            raise ValueError(f"batch size {B} not divisible by accum_steps {accum_steps}")
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape((accum_steps, B // accum_steps) + x.shape[1:]),
+            batch,
+        )
+        # accum_steps=1 keeps the caller's key unsplit so the dropout draw
+        # is bit-identical to the plain step
+        rngs = (
+            jnp.stack([rng])
+            if accum_steps == 1
+            else jax.random.split(rng, accum_steps)
+        )
 
-        grads, (new_model_state, metrics) = jax.grad(loss_fn, has_aux=True)(
-            state.params
+        def body(carry, xs):
+            batch_stats, grad_acc = carry
+            mb, r = xs
+            grads, (new_model_state, metrics) = jax.grad(
+                loss_fn, has_aux=True
+            )(state.params, batch_stats, mb, r)
+            grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+            return (new_model_state["batch_stats"], grad_acc), metrics
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (batch_stats, grad_sum), metrics = jax.lax.scan(
+            body, (state.batch_stats, zero), (micro, rngs)
         )
-        state = state.apply_gradients(
-            grads=grads, batch_stats=new_model_state["batch_stats"]
-        )
+        grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grad_sum)
+        state = state.apply_gradients(grads=grads, batch_stats=batch_stats)
+        metrics = jax.tree_util.tree_map(lambda m: m.mean(0), metrics)
         return state, metrics
 
     return train_step

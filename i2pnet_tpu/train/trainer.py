@@ -27,6 +27,7 @@ from i2pnet_tpu.parallel import make_mesh, batch_spec, replicate_spec, shard_tra
 from i2pnet_tpu.train.checkpoint import CheckpointManager
 from i2pnet_tpu.train.state import create_train_state
 from i2pnet_tpu.train.step import (
+    make_accum_train_step,
     make_eval_step,
     make_eval_step_proj,
     make_train_step,
@@ -52,6 +53,7 @@ class Trainer:
         proj: bool = False,
         save_rate: int = 20,
         resume: bool = False,
+        accum_steps: int = 1,
         run_flags: Optional[dict] = None,
     ):
         self.model = model
@@ -75,6 +77,7 @@ class Trainer:
             "epochs": epochs,
             "seed": seed,
             "proj": proj,
+            "accum_steps": accum_steps,
         }
         self._check_config_consistency(resolved, resume)
         self.writer.config(resolved)
@@ -120,11 +123,18 @@ class Trainer:
         while batch_size % n_dev:
             n_dev -= 1
         self.mesh = make_mesh(jax.devices()[:n_dev])
-        step_fn = (
-            make_train_step_proj(self.model, cfg)
-            if proj
-            else make_train_step(self.model, cfg)
-        )
+        if accum_steps > 1:
+            if batch_size % accum_steps:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by accum_steps {accum_steps}"
+                )
+            step_fn = make_accum_train_step(self.model, cfg, accum_steps, proj=proj)
+        else:
+            step_fn = (
+                make_train_step_proj(self.model, cfg)
+                if proj
+                else make_train_step(self.model, cfg)
+            )
         self._train_step = shard_train_step(step_fn, self.mesh)
         eval_fn = (
             make_eval_step_proj(self.model, cfg)

@@ -138,3 +138,71 @@ def test_timings_profiler():
     s = t.summary()
     assert "matmul" in s and s["matmul"]["count"] == 1
     assert str(t)
+
+
+def test_training_determinism():
+    """Same seeds -> bit-identical losses (the reference relies on fixed
+    seeds as its reproducibility harness, SURVEY §4.4; JAX gives us full
+    determinism)."""
+    cfg = I2PNetConfig.tiny()
+    model = I2PNet(cfg)
+    batch = _synthetic_batch(cfg)
+
+    def run():
+        variables = model.init(
+            jax.random.key(0), batch["rgb"], batch["lidar"],
+            batch["intrinsic"], train=False,
+        )
+        state = create_train_state(model, variables, steps_per_epoch=100)
+        step = jax.jit(make_train_step(model, cfg))
+        out = []
+        s = state
+        for i in range(3):
+            s, m = step(s, batch, jax.random.key(i))
+            out.append(float(m["loss"]))
+        return out
+
+    a = run()
+    b = run()
+    assert a == b, (a, b)
+
+
+def test_accum_step_matches_plain_at_1_and_runs_at_2():
+    from i2pnet_tpu.train import make_accum_train_step
+
+    cfg = I2PNetConfig.tiny()
+    model = I2PNet(cfg)
+    batch = _synthetic_batch(cfg, B=2)
+    variables = model.init(
+        jax.random.key(0), batch["rgb"], batch["lidar"], batch["intrinsic"],
+        train=False,
+    )
+
+    def fresh_state():
+        return create_train_state(model, variables, lr=1e-3, steps_per_epoch=100)
+
+    plain = jax.jit(make_train_step(model, cfg))
+    accum1 = jax.jit(make_accum_train_step(model, cfg, accum_steps=1))
+    sp, mp = plain(fresh_state(), batch, jax.random.key(0))
+    sa, ma = accum1(fresh_state(), batch, jax.random.key(0))
+    np.testing.assert_allclose(float(mp["loss"]), float(ma["loss"]), rtol=1e-7)
+    # Adam's first update is ~±lr per element regardless of grad magnitude,
+    # so float-associativity noise in near-zero grads (scan fuses the
+    # backward differently) can flip single elements by 2*lr. Bound by that.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(sp.params), jax.tree_util.tree_leaves(sa.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5e-3)
+
+    # accum_steps=2: grads averaged over 2 microbatches of 1; runs + updates
+    accum2 = jax.jit(make_accum_train_step(model, cfg, accum_steps=2))
+    s0 = fresh_state()
+    s2, m2 = accum2(s0, batch, jax.random.key(0))
+    assert np.isfinite(float(m2["loss"]))
+    diffs = [
+        float(jnp.abs(a - b).max())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s0.params), jax.tree_util.tree_leaves(s2.params)
+        )
+    ]
+    assert max(diffs) > 0.0

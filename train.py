@@ -31,6 +31,8 @@ def parse_args(argv=None):
     p.add_argument("--clip", type=float, default=-1.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient-accumulation microbatches per optimizer step")
     p.add_argument("--tiny", action="store_true",
                    help="tiny config (smoke testing)")
     p.add_argument("--compute_dtype", default="float32",
@@ -133,6 +135,7 @@ def main(argv=None):
         proj=proj,
         save_rate=args.save_rate,
         resume=args.resume,
+        accum_steps=args.accum_steps,
         run_flags=vars(args),
     )
     trainer.train()
