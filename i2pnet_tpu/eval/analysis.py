@@ -88,3 +88,29 @@ def aggregate_seeds(pattern: str) -> Dict[str, float]:
         out[k + "_std"] = float(vals.std())
     out["seeds"] = len(per_seed)
     return out
+
+
+def main(argv=None):
+    """CLI mirroring ref evaluation_analysis.py / evaluation_cmrresult.py:
+    re-derive metrics from saved artifacts."""
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description="re-analyze saved eval artifacts")
+    ap.add_argument("path", help="prediction.txt, prediction*.txt glob, or "
+                                 "metrics_*.npz")
+    ap.add_argument("--rre_th", type=float, default=10.0)
+    ap.add_argument("--rte_th", type=float, default=5.0)
+    args = ap.parse_args(argv)
+
+    if args.path.endswith(".npz"):
+        out = recall_analysis(args.path, rre_th=args.rre_th, rte_th=args.rte_th)
+    elif any(ch in args.path for ch in "*?["):
+        out = aggregate_seeds(args.path)
+    else:
+        out = prediction_file_metrics(args.path)
+    print(json.dumps(out, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()
