@@ -206,3 +206,32 @@ def test_accum_step_matches_plain_at_1_and_runs_at_2():
         )
     ]
     assert max(diffs) > 0.0
+
+
+def test_accum_step_on_device_mesh():
+    """Gradient accumulation composes with DP sharding: the (B,) -> (A, B/A)
+    reshape inside the jitted step must compile and run on a multi-device
+    mesh (XLA inserts any resharding)."""
+    from i2pnet_tpu.parallel import (
+        batch_spec,
+        make_mesh,
+        replicate_spec,
+        shard_train_step,
+    )
+    from i2pnet_tpu.train import make_accum_train_step
+
+    cfg = I2PNetConfig.tiny()
+    model = I2PNet(cfg)
+    batch = _synthetic_batch(cfg, B=4)
+    variables = model.init(
+        jax.random.key(0), batch["rgb"], batch["lidar"], batch["intrinsic"],
+        train=False,
+    )
+    state = create_train_state(model, variables, lr=1e-3, steps_per_epoch=100)
+
+    mesh = make_mesh(jax.devices()[:2])
+    step = shard_train_step(make_accum_train_step(model, cfg, accum_steps=2), mesh)
+    state = jax.device_put(state, replicate_spec(mesh))
+    batch = {k: jax.device_put(v, batch_spec(mesh)) for k, v in batch.items()}
+    state, m = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))
