@@ -33,6 +33,10 @@ def parse_args(argv=None):
     p.add_argument("--test_rt", default=None,
                    help="CSV of fixed test decalibrations (rx ry rz tx ty tz)")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="jax_debug_nans: fail fast on the first NaN "
+                        "(the TPU analog of the reference's deterministic/"
+                        "launch-blocking debug flags)")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--analyze", action="store_true")
@@ -44,6 +48,10 @@ def main(argv=None):
     from i2pnet_tpu.utils.platform import honor_jax_platforms_env
 
     honor_jax_platforms_env()
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     import jax
 
     import train as train_cli

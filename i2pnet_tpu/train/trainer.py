@@ -81,6 +81,7 @@ class Trainer:
         }
         self._check_config_consistency(resolved, resume)
         self.writer.config(resolved)
+        self._snapshot_sources(resume)
 
         self.train_loader = BatchLoader(
             train_dataset, batch_size, shuffle=True, seed=seed, device_only=True
@@ -148,15 +149,39 @@ class Trainer:
         self.ckpt = CheckpointManager(log_dir)
         self.start_epoch = 0
         self.n_iter = 0
-        self.best = {"rotation": np.inf, "translation": np.inf}
+        self.best = {"rotation": np.inf, "translation": np.inf, "msee": np.inf}
         if resume and self.ckpt.latest_step() is not None:
             self.state, meta = self.ckpt.restore(self.state)
             self.state = jax.device_put(self.state, replicate_spec(self.mesh))
             if meta:
                 self.start_epoch = int(meta.get("epoch", 0)) + 1
                 self.n_iter = int(meta.get("n_iter", 0))
-                self.best = meta.get("best", self.best)
+                self.best = {**self.best, **meta.get("best", {})}
             print(f"[trainer] resumed at epoch {self.start_epoch}")
+
+    def _snapshot_sources(self, resume: bool) -> None:
+        """Archive the package sources into the log dir so a run is
+        reproducible even if the tree moves on (ref
+        train20v2learn_wandb.py:139-148 copies its source files)."""
+        path = os.path.join(self.log_dir, "src_snapshot.tar.gz")
+        if resume and os.path.exists(path):
+            return
+        import tarfile
+
+        import i2pnet_tpu
+
+        pkg_dir = os.path.dirname(os.path.abspath(i2pnet_tpu.__file__))
+        try:
+            with tarfile.open(path, "w:gz") as tar:
+                tar.add(
+                    pkg_dir,
+                    arcname="i2pnet_tpu",
+                    filter=lambda ti: ti
+                    if ti.name.endswith((".py", "i2pnet_tpu")) or ti.isdir()
+                    else None,
+                )
+        except OSError:
+            pass  # snapshot is best-effort; never block training
 
     def _check_config_consistency(self, resolved: dict, resume: bool) -> None:
         """A resumed run must match its original config
@@ -227,6 +252,9 @@ class Trainer:
                 if val["rte_mean"] < self.best["translation"]:
                     self.best["translation"] = val["rte_mean"]
                     self.ckpt.save_best("model_transition_best", snapshot)
+                if val["msee"] < self.best["msee"]:
+                    self.best["msee"] = val["msee"]
+                    self.ckpt.save_best("model_msee_best", snapshot)
 
             self.ckpt.save(
                 epoch,
@@ -238,6 +266,7 @@ class Trainer:
     def validate(self) -> Dict[str, float]:
         ev = M.RteRreEval()
         axis_errs = []
+        msees = []
         for batch in self.valid_loader:
             mb = to_model_batch(
                 {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
@@ -253,6 +282,12 @@ class Trainer:
             )
             ev.add_batch(pred_E, gt_E)
             axis_errs.append(M.calibration_error_batch(pred_E, gt_E))
+            gt_q = np.asarray(batch["decalib_real_gt"])
+            gt_t = np.asarray(batch["decalib_dual_gt"])
+            gt_E_raw = np.concatenate(
+                [M.quat_to_rotmat_batch(gt_q), gt_t.reshape(-1, 3, 1)], -1
+            )
+            msees.append(M.eval_msee(out3, M.extrinsic_to_se3(gt_E_raw)))
         rte_mean, rte_std, rre_mean, rre_std = ev.eval_seq()
         axis = np.concatenate([np.stack(a, -1) for a in axis_errs], 0).mean(0)
         return {
@@ -266,4 +301,5 @@ class Trainer:
             "x_m": axis[3],
             "y_m": axis[4],
             "z_m": axis[5],
+            "msee": float(np.concatenate(msees).mean()),
         }

@@ -74,6 +74,8 @@ def test_trainer_end_to_end(synth_root, tmp_path):
     assert os.path.exists(os.path.join(log_dir, "log_rotate.txt"))
     assert trainer.ckpt.latest_step() == 1
     assert os.path.isdir(os.path.join(log_dir, "best", "model_rotation_best"))
+    assert os.path.isdir(os.path.join(log_dir, "best", "model_msee_best"))
+    assert os.path.exists(os.path.join(log_dir, "src_snapshot.tar.gz"))
 
     # resume: continues from epoch 2 without config mismatch
     trainer2 = Trainer(

@@ -35,6 +35,10 @@ def parse_args(argv=None):
                    help="gradient-accumulation microbatches per optimizer step")
     p.add_argument("--tiny", action="store_true",
                    help="tiny config (smoke testing)")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="jax_debug_nans: fail fast on the first NaN "
+                        "(the TPU analog of the reference's deterministic/"
+                        "launch-blocking debug flags)")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="conv/dense compute dtype (params stay f32)")
@@ -115,6 +119,10 @@ def main(argv=None):
     from i2pnet_tpu.utils.platform import honor_jax_platforms_env
 
     honor_jax_platforms_env()
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     from i2pnet_tpu.train.trainer import Trainer
     from i2pnet_tpu.utils.seeding import set_seed
 
