@@ -178,3 +178,39 @@ def test_evaluator_cascade(synth_root, tmp_path):
     summary = evaluator.validate(loader)
     assert summary["count"] == 4
     assert np.isfinite(summary["rre_mean"])
+
+
+def test_analysis_cli_main(synth_root, tmp_path, capsys):
+    """python -m i2pnet_tpu.eval.analysis <prediction.txt> prints metrics
+    JSON (mirrors ref evaluation_cmrresult.py re-parse)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from i2pnet_tpu import eval as _  # noqa: F401
+    from i2pnet_tpu.config import I2PNetConfig
+    from i2pnet_tpu.data.pipeline import BatchLoader
+    from i2pnet_tpu.eval import Evaluator
+    from i2pnet_tpu.eval.analysis import main as analysis_main
+    from i2pnet_tpu.models import I2PNet
+
+    cfg = I2PNetConfig.tiny()
+    model = I2PNet(cfg)
+    _, valid_ds = _make_datasets(synth_root, cfg)
+    s = valid_ds[0]
+    variables = model.init(
+        jax.random.key(0), jnp.asarray(s["rgb"])[None],
+        jnp.asarray(s["lidar"])[None], jnp.asarray(s["init_intrinsic"])[None],
+        train=False,
+    )
+    log_dir = str(tmp_path / "acli")
+    ev = Evaluator(model, cfg, [variables["params"]],
+                   [variables.get("batch_stats", {})], log_dir=log_dir)
+    summary = ev.validate(BatchLoader(valid_ds, 2, shuffle=False, drop_last=False))
+    capsys.readouterr()
+
+    analysis_main([os.path.join(log_dir, "prediction.txt")])
+    out = json.loads(capsys.readouterr().out)
+    assert out["count"] == 4
+    np.testing.assert_allclose(out["rre_mean"], summary["rre_mean"], rtol=1e-5)
