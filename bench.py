@@ -1,9 +1,14 @@
 """Benchmark: image-LiDAR registration pairs/sec/chip on TPU.
 
-Runs the flagship forward (free-point I2PNet, shipped config, KITTI
+Headline metric: flagship forward (free-point I2PNet, shipped config, KITTI
 small-range shapes: batch 8, N=8192 points, 384x1280 image — matching the
-reference eval protocol batch size, ref evaluation_proj.py:239-264) and
-prints ONE JSON line.
+reference eval protocol batch size, ref evaluation_proj.py:239-264).
+
+The same JSON line additionally carries the other two hot paths so
+regressions in any of them show in BENCH_r*.json:
+  * proj_fwd_pairs_per_sec  — projection model forward (150k pts, 64x1800
+    spherical grid, ref evaluation_proj.py protocol shapes)
+  * train_pairs_per_sec     — free-point fused train step (fwd+bwd+Adam)
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
 the denominator below is the driver north star's reference-GPU estimate used
@@ -12,6 +17,7 @@ as the 5x-target base. It is replaced by a measured number once one exists.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import time
 
@@ -27,9 +33,24 @@ BATCH = 8
 IMG_H, IMG_W = 384, 1280
 
 
-def main():
-    import dataclasses
+def sync(x):
+    # NOTE: jax.block_until_ready does NOT actually block on the axon
+    # tunnel; force completion by pulling a scalar to the host (FIFO queue
+    # means one pull fences all queued work).
+    return np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[0]))
 
+
+def time_fn(fn, args, iters):
+    out = fn(*args)  # warmup / compile
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    sync(out)
+    return time.perf_counter() - t0
+
+
+def bench_free_point_forward():
     from i2pnet_tpu.config import I2PNetConfig
     from i2pnet_tpu.models import I2PNet
 
@@ -59,31 +80,73 @@ def main():
         out = model.apply(variables, rgb, lidar, intrinsic, train=False)
         return out["out3"], out["out4"]
 
-    # NOTE: jax.block_until_ready does NOT actually block on the axon
-    # tunnel; force completion by pulling a scalar to the host (FIFO queue
-    # means one pull fences all queued work).
-    def sync(x):
-        return np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[0]))
-
-    # warmup / compile
-    out = forward(variables, rgb, lidar, intrinsic)
-    sync(out)
-
     iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(variables, rgb, lidar, intrinsic)
-    sync(out)
-    dt = time.perf_counter() - t0
+    dt = time_fn(forward, (variables, rgb, lidar, intrinsic), iters)
+    fwd_pairs = BATCH * iters / dt
 
-    pairs_per_sec = BATCH * iters / dt
+    # fused train step on the same shapes (fwd + loss + bwd + Adam)
+    from i2pnet_tpu.train import create_train_state, make_train_step
+
+    batch = {
+        "rgb": rgb, "lidar": lidar, "intrinsic": intrinsic,
+        "decalib_q_gt": jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (BATCH, 1)),
+        "decalib_t_gt": jnp.zeros((BATCH, 3)),
+    }
+    state = create_train_state(model, variables, steps_per_epoch=100)
+    step = jax.jit(make_train_step(model, cfg), donate_argnums=(0,))
+    state, m = step(state, batch, jax.random.key(0))  # warmup / compile
+    sync(m["loss"])
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, batch, jax.random.key(i))
+    sync(m["loss"])
+    train_pairs = BATCH * iters / (time.perf_counter() - t0)
+    return fwd_pairs, train_pairs
+
+
+def bench_proj_forward():
+    from i2pnet_tpu.config import I2PNetProjConfig
+    from i2pnet_tpu.models import I2PNetProj
+    from i2pnet_tpu.ops import quaternion as Q
+
+    cfg = I2PNetProjConfig()
+    model = I2PNetProj(cfg)
+    rng = np.random.default_rng(0)
+    N = 150000
+    raw_np = rng.normal(size=(BATCH, N, 3)).astype(np.float32) * 15
+    raw_np[:, 120000:] = 0.0  # zero-pad tail, as the loader emits
+    raw = jnp.asarray(raw_np)
+    q = jnp.asarray([[0.999, 0.0, 0.04, 0.0]] * BATCH, jnp.float32)
+    lidar = Q.warp_points(raw, q, jnp.asarray([[1.0, 0, 2.0]] * BATCH)) * (
+        jnp.sum(raw**2, -1, keepdims=True) > 0
+    )
+    rgb = jnp.asarray(rng.normal(size=(BATCH, 160, 512, 3)).astype(np.float32))
+    intr = jnp.tile(
+        jnp.asarray([[[350.0, 0, 256], [0, 350.0, 80], [0, 0, 1]]], jnp.float32),
+        (BATCH, 1, 1),
+    )
+    variables = model.init(jax.random.key(0), rgb, lidar, raw, intr, train=False)
+    fwd = jax.jit(
+        lambda v, r, l, w, i: model.apply(v, r, l, w, i, train=False)["out3"]
+    )
+    iters = 10
+    dt = time_fn(fwd, (variables, rgb, lidar, raw, intr), iters)
+    return BATCH * iters / dt
+
+
+def main():
+    fwd_pairs, train_pairs = bench_free_point_forward()
+    proj_pairs = bench_proj_forward()
     print(
         json.dumps(
             {
                 "metric": "image_lidar_pairs_per_sec_per_chip",
-                "value": round(pairs_per_sec, 2),
+                "value": round(fwd_pairs, 2),
                 "unit": "pairs/s",
-                "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 3),
+                "vs_baseline": round(fwd_pairs / REFERENCE_PAIRS_PER_SEC, 3),
+                "proj_fwd_pairs_per_sec": round(proj_pairs, 2),
+                "train_pairs_per_sec": round(train_pairs, 2),
             }
         )
     )

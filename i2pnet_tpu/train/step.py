@@ -17,10 +17,39 @@ from i2pnet_tpu.config import I2PNetConfig
 from i2pnet_tpu.losses import projection_mask_loss, registration_loss
 
 
-def _free_point_loss_fn(model, cfg: I2PNetConfig, img_size=None):
-    """loss(params, batch_stats, batch, rng) for the free-point model."""
+def _delay_now_step(cfg, step):
+    """DelayWeight counter for a given optimizer step, or None to use the
+    model's frozen default.
 
-    def loss_fn(params, batch_stats, batch, rng):
+    The reference decrements a buffer once per training forward when
+    mask_delay (or unconditionally on the ab_delay branch) is set
+    (ref src/modules/MainModules.py:431-449); one optimizer step == one
+    forward there, so the counter is a pure function of the global step:
+    max(delay_step - step, 0). With both flags off the reference counter
+    never moves (weight stays 1.0 -> pure gt masks), which the model's
+    default now_step reproduces.
+    """
+    if not (cfg.mask_delay or cfg.ab_delay):
+        return None
+    return jnp.maximum(
+        jnp.float32(cfg.mask_delay_step) - step.astype(jnp.float32), 0.0
+    )
+
+
+def _free_point_loss_fn(model, cfg: I2PNetConfig, img_size=None,
+                        train_target: str = "all"):
+    """loss(params, batch_stats, batch, rng, step) for the free-point model.
+
+    train_target selects the loss composition exactly like the reference's
+    --train_target flag (ref train20v2learn_wandb.py:756-793):
+      'all'    -> registration + 1.5 * mask loss
+      'regist' -> registration only (mask loss still computed for logging)
+      'class'  -> mask loss only
+    """
+    if train_target not in ("all", "regist", "class"):
+        raise ValueError(f"train_target must be all|regist|class, got {train_target}")
+
+    def loss_fn(params, batch_stats, batch, rng, step):
         out, new_model_state = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["rgb"],
@@ -29,11 +58,12 @@ def _free_point_loss_fn(model, cfg: I2PNetConfig, img_size=None):
             lidar_feature=batch.get("lidar_feats"),
             raw_xyz=batch.get("raw_xyz"),
             gt_project=batch.get("gt_project"),
+            now_step=_delay_now_step(cfg, step),
             train=True,
             mutable=["batch_stats"],
             rngs={"dropout": rng},
         )
-        loss, loss_q, loss_x = registration_loss(
+        reg_loss, loss_q, loss_x = registration_loss(
             out["out3"],
             out["out4"],
             batch["decalib_q_gt"],
@@ -43,6 +73,7 @@ def _free_point_loss_fn(model, cfg: I2PNetConfig, img_size=None):
             l1_trans=cfg.l1_trans_loss,
         )
         hw = img_size or batch["rgb"].shape[1:3]
+        mask_loss = None
         for pm in (out["pm3"], out["pm4"]):
             pl = projection_mask_loss(
                 pm,
@@ -55,12 +86,22 @@ def _free_point_loss_fn(model, cfg: I2PNetConfig, img_size=None):
                 sigmoid=cfg.mask_sigmoid,
             )
             if pl is not None:
+                mask_loss = pl if mask_loss is None else mask_loss + pl
+        if train_target == "class":
+            if mask_loss is None:
+                raise ValueError("train_target='class' needs mask heads enabled")
+            loss = mask_loss
+        else:
+            loss = reg_loss
+            if mask_loss is not None and train_target == "all":
                 # mask loss weight 1.5 (ref train20v2learn_wandb.py:784-791)
-                loss = loss + 1.5 * pl
+                loss = loss + 1.5 * mask_loss
         metrics = {
             "loss": loss,
             "loss_q": loss_q,
             "loss_x": loss_x,
+            "loss_mask": (mask_loss if mask_loss is not None
+                          else jnp.zeros_like(loss)),
             "sx": out["sx"].reshape(()),
             "sq": out["sq"].reshape(()),
         }
@@ -76,7 +117,8 @@ def _proj_loss_fn(model, cfg):
     drops the mask branches); batch additionally requires raw_xyz (B,N,3).
     """
 
-    def loss_fn(params, batch_stats, batch, rng):
+    def loss_fn(params, batch_stats, batch, rng, step):
+        del step  # proj path has no mask/DelayWeight branch
         out, new_model_state = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["rgb"],
@@ -113,7 +155,7 @@ def _make_plain_step(loss_fn):
     def train_step(state, batch, rng):
         grads, (new_model_state, metrics) = jax.grad(
             functools.partial(loss_fn, batch_stats=state.batch_stats,
-                              batch=batch, rng=rng),
+                              batch=batch, rng=rng, step=state.step),
             has_aux=True,
         )(state.params)
         state = state.apply_gradients(
@@ -124,14 +166,15 @@ def _make_plain_step(loss_fn):
     return train_step
 
 
-def make_train_step(model, cfg: I2PNetConfig, img_size: Optional[Tuple[int, int]] = None):
+def make_train_step(model, cfg: I2PNetConfig, img_size: Optional[Tuple[int, int]] = None,
+                    train_target: str = "all"):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     batch: dict with rgb (B,H,W,3), lidar (B,N,3), intrinsic (B,3,3),
     decalib_q_gt (B,4), decalib_t_gt (B,3); optional lidar_feats (B,N,3),
     raw_xyz (B,N,3), gt_project (B,N).
     """
-    return _make_plain_step(_free_point_loss_fn(model, cfg, img_size))
+    return _make_plain_step(_free_point_loss_fn(model, cfg, img_size, train_target))
 
 
 def make_train_step_proj(model, cfg):
@@ -145,6 +188,7 @@ def make_accum_train_step(
     accum_steps: int,
     proj: bool = False,
     img_size: Optional[Tuple[int, int]] = None,
+    train_target: str = "all",
 ):
     """Gradient-accumulation train step: one optimizer update per call,
     built from `accum_steps` sequential microbatch grads via lax.scan.
@@ -164,7 +208,8 @@ def make_accum_train_step(
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
     loss_fn = (_proj_loss_fn if proj else
-               functools.partial(_free_point_loss_fn, img_size=img_size))(model, cfg)
+               functools.partial(_free_point_loss_fn, img_size=img_size,
+                                 train_target=train_target))(model, cfg)
 
     def train_step(state, batch, rng):
         B = batch["rgb"].shape[0]
@@ -187,7 +232,7 @@ def make_accum_train_step(
             mb, r = xs
             grads, (new_model_state, metrics) = jax.grad(
                 loss_fn, has_aux=True
-            )(state.params, batch_stats, mb, r)
+            )(state.params, batch_stats, mb, r, state.step)
             grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
             return (new_model_state["batch_stats"], grad_acc), metrics
 

@@ -55,10 +55,21 @@ class Trainer:
         resume: bool = False,
         accum_steps: int = 1,
         run_flags: Optional[dict] = None,
+        train_target: str = "all",
+        extra_valid_datasets: Optional[Dict[str, Any]] = None,
     ):
+        """train_target: 'all' | 'regist' | 'class' — loss composition, as the
+        reference's --train_target flag (ref train20v2learn_wandb.py:756-793).
+
+        extra_valid_datasets: optional {prefix: dataset} — additional
+        validation splits evaluated every epoch with their own best-model
+        tracking, snapshots saved as '{prefix}model_rotation_best' etc.
+        (the reference hardcodes two such splits, 'af_' and 'ni_', ref
+        train20v2learn_wandb.py:472-699 validate_old_town_a/_n)."""
         self.model = model
         self.cfg = cfg
         self.proj = proj
+        self.train_target = train_target
         self.epochs = epochs
         self.batch_size = batch_size
         self.save_rate = save_rate
@@ -93,6 +104,11 @@ class Trainer:
             if valid_dataset is not None
             else None
         )
+        self.extra_valid_loaders = {
+            prefix: BatchLoader(ds, batch_size, shuffle=False, seed=seed,
+                                drop_last=False)
+            for prefix, ds in (extra_valid_datasets or {}).items()
+        }
         steps_per_epoch = max(len(self.train_loader), 1)
 
         # build state from one sample batch (assembled directly — iterating
@@ -129,12 +145,14 @@ class Trainer:
                 raise ValueError(
                     f"batch_size {batch_size} not divisible by accum_steps {accum_steps}"
                 )
-            step_fn = make_accum_train_step(self.model, cfg, accum_steps, proj=proj)
+            step_fn = make_accum_train_step(
+                self.model, cfg, accum_steps, proj=proj, train_target=train_target
+            )
         else:
             step_fn = (
                 make_train_step_proj(self.model, cfg)
                 if proj
-                else make_train_step(self.model, cfg)
+                else make_train_step(self.model, cfg, train_target=train_target)
             )
         self._train_step = shard_train_step(step_fn, self.mesh)
         eval_fn = (
@@ -149,7 +167,15 @@ class Trainer:
         self.ckpt = CheckpointManager(log_dir)
         self.start_epoch = 0
         self.n_iter = 0
-        self.best = {"rotation": np.inf, "translation": np.inf, "msee": np.inf}
+
+        def _fresh_best():
+            # acc is maximized (ref tracks best_acc upward,
+            # train20v2learn_wandb.py:462-468); the rest minimized
+            return {"rotation": np.inf, "translation": np.inf,
+                    "msee": np.inf, "acc": -np.inf}
+
+        self.best = _fresh_best()
+        self.extra_best = {p: _fresh_best() for p in self.extra_valid_loaders}
         if resume and self.ckpt.latest_step() is not None:
             self.state, meta = self.ckpt.restore(self.state)
             self.state = jax.device_put(self.state, replicate_spec(self.mesh))
@@ -157,6 +183,9 @@ class Trainer:
                 self.start_epoch = int(meta.get("epoch", 0)) + 1
                 self.n_iter = int(meta.get("n_iter", 0))
                 self.best = {**self.best, **meta.get("best", {})}
+                for p, b in (meta.get("extra_best") or {}).items():
+                    if p in self.extra_best:
+                        self.extra_best[p] = {**self.extra_best[p], **b}
             print(f"[trainer] resumed at epoch {self.start_epoch}")
 
     def _snapshot_sources(self, resume: bool) -> None:
@@ -233,46 +262,106 @@ class Trainer:
             print(f"[trainer] epoch {epoch}: mean loss {mean_loss:.4f} ({dt:.1f}s)")
 
             if self.valid_loader is not None:
-                val = self.validate()
-                for k, v in val.items():
-                    self.writer.add_scalar(f"val/{k}", v, epoch)
-                self.writer.text_log(
-                    "log_rotate.txt", f"epoch {epoch} rre {val['rre_mean']:.6f}"
-                )
-                self.writer.text_log(
-                    "log_trans.txt", f"epoch {epoch} rte {val['rte_mean']:.6f}"
-                )
-                snapshot = {
-                    "params": self.state.params,
-                    "batch_stats": self.state.batch_stats,
-                }
-                if val["rre_mean"] < self.best["rotation"]:
-                    self.best["rotation"] = val["rre_mean"]
-                    self.ckpt.save_best("model_rotation_best", snapshot)
-                if val["rte_mean"] < self.best["translation"]:
-                    self.best["translation"] = val["rte_mean"]
-                    self.ckpt.save_best("model_transition_best", snapshot)
-                if val["msee"] < self.best["msee"]:
-                    self.best["msee"] = val["msee"]
-                    self.ckpt.save_best("model_msee_best", snapshot)
+                self._validate_and_track(self.valid_loader, self.best, "", epoch)
+            for prefix, loader in self.extra_valid_loaders.items():
+                self._validate_and_track(loader, self.extra_best[prefix],
+                                         prefix, epoch)
 
             self.ckpt.save(
                 epoch,
                 self.state,
-                meta={"epoch": epoch, "n_iter": self.n_iter, "best": self.best},
+                meta={"epoch": epoch, "n_iter": self.n_iter,
+                      "best": self.best, "extra_best": self.extra_best},
             )
         self.ckpt.wait()
 
-    def validate(self) -> Dict[str, float]:
+    def _validate_and_track(self, loader, best, prefix: str, epoch: int) -> None:
+        """Validate one split and snapshot per-metric bests, named with the
+        split's prefix ('' = main; e.g. 'af_'/'ni_' reproduce the reference's
+        extra-split snapshots, ref train20v2learn_wandb.py:450-470,570-585,
+        685-699)."""
+        val = self.validate(loader)
+        tag = f"val_{prefix.rstrip('_')}" if prefix else "val"
+        for k, v in val.items():
+            self.writer.add_scalar(f"{tag}/{k}", v, epoch)
+        self.writer.text_log(
+            "log_rotate.txt", f"epoch {epoch} {prefix}rre {val['rre_mean']:.6f}"
+        )
+        self.writer.text_log(
+            "log_trans.txt", f"epoch {epoch} {prefix}rte {val['rte_mean']:.6f}"
+        )
+        snapshot = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+        if self.train_target == "class":
+            # classification-only runs track mask accuracy alone
+            # (ref :465-468 'model_acc_best.pt')
+            if val["acc"] > best["acc"]:
+                best["acc"] = val["acc"]
+                self.ckpt.save_best(f"{prefix}model_acc_best", snapshot)
+            return
+        if val["rre_mean"] < best["rotation"]:
+            best["rotation"] = val["rre_mean"]
+            self.ckpt.save_best(f"{prefix}model_rotation_best", snapshot)
+        if val["rte_mean"] < best["translation"]:
+            best["translation"] = val["rte_mean"]
+            self.ckpt.save_best(f"{prefix}model_transition_best", snapshot)
+        if val["msee"] < best["msee"]:
+            best["msee"] = val["msee"]
+            self.ckpt.save_best(f"{prefix}model_msee_best", snapshot)
+        # regist/all mode records the best accuracy without a snapshot
+        # (ref :462-463)
+        best["acc"] = max(best["acc"], val["acc"])
+
+    def _mask_accuracy(self, out, mb_dev, batch) -> Optional[np.ndarray]:
+        """Per-sample projection-mask accuracy for one eval batch, mirroring
+        the reference's head selection (ref train20v2learn_wandb.py:380-389:
+        pm3 if layer_mask[1] else pm4; one_head_mask uses pm3) and
+        metric.py:167-179 eval_acc (gt labels recomputed at the head's own
+        point level pm[1])."""
+        cfg = self.cfg
+        if self.proj or not getattr(cfg, "use_projection_mask", False):
+            if out.get("pm3") is not None and getattr(cfg, "one_head_mask", False):
+                pm, sigmoid = out["pm3"], False
+            else:
+                return None
+        elif out.get("pm3") is not None and cfg.layer_mask[1]:
+            pm, sigmoid = out["pm3"], cfg.mask_sigmoid
+        elif out.get("pm4") is not None and cfg.layer_mask[0]:
+            pm, sigmoid = out["pm4"], cfg.mask_sigmoid
+        else:
+            return None
+        from i2pnet_tpu.losses import get_projection_gt
+
+        if len(pm) >= 3 and pm[2] is not None:
+            l_gt = np.asarray(pm[2]).argmax(-1)
+        else:
+            l_gt = np.asarray(
+                get_projection_gt(
+                    pm[1],
+                    mb_dev["intrinsic"],
+                    tuple(mb_dev["rgb"].shape[1:3]),
+                    jnp.asarray(batch["decalib_real_gt"]),
+                    jnp.asarray(batch["decalib_dual_gt"]),
+                )
+            )
+        return M.eval_acc(np.asarray(pm[0]), l_gt, sigmoid=sigmoid)
+
+    def validate(self, loader=None) -> Dict[str, float]:
         ev = M.RteRreEval()
         axis_errs = []
         msees = []
-        for batch in self.valid_loader:
+        accs = []
+        for batch in loader if loader is not None else self.valid_loader:
             mb = to_model_batch(
                 {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
             )
             mb_dev = {k: jnp.asarray(v) for k, v in mb.items()}
             out = self._eval_step(self.state, mb_dev)
+            acc = self._mask_accuracy(out, mb_dev, batch)
+            if acc is not None:
+                accs.append(acc)
             out3 = np.asarray(out["out3"])
             pred_E, gt_E = M.get_extrinsic(
                 out3,
@@ -302,4 +391,7 @@ class Trainer:
             "y_m": axis[4],
             "z_m": axis[5],
             "msee": float(np.concatenate(msees).mean()),
+            # 0.0 when no mask head is enabled, like the reference's zeros
+            # acclist (ref train20v2learn_wandb.py:380)
+            "acc": float(np.concatenate(accs).mean()) if accs else 0.0,
         }

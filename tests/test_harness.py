@@ -94,6 +94,41 @@ def test_trainer_end_to_end(synth_root, tmp_path):
         )
 
 
+def test_trainer_extra_splits_and_mask_acc(synth_root, tmp_path):
+    """Extra validation splits get their own prefixed best snapshots
+    (ref train20v2learn_wandb.py validate_old_town_a/_n 'af_'/'ni_') and the
+    mask-enabled config reports a real mask accuracy (ref :380-389)."""
+    import dataclasses
+
+    from i2pnet_tpu.config import I2PNetConfig
+    from i2pnet_tpu.models import I2PNet
+    from i2pnet_tpu.train.trainer import Trainer
+
+    cfg = dataclasses.replace(
+        I2PNetConfig.tiny(),
+        use_projection_mask=True,
+        layer_mask=(True, True),
+        projection_mask_mlps=((16, 16), (16, 16)),
+    )
+    model = I2PNet(cfg)
+    train_ds, valid_ds = _make_datasets(synth_root, cfg)
+    log_dir = str(tmp_path / "run_extra")
+
+    trainer = Trainer(
+        model, cfg, train_ds, valid_ds, log_dir=log_dir,
+        batch_size=2, epochs=1, seed=0, save_rate=1,
+        extra_valid_datasets={"af_": valid_ds},
+    )
+    trainer.train()
+
+    val = trainer.validate()
+    assert 0.0 < val["acc"] <= 1.0
+    assert trainer.best["acc"] > 0.0
+    assert os.path.isdir(os.path.join(log_dir, "best", "af_model_rotation_best"))
+    assert os.path.isdir(os.path.join(log_dir, "best", "af_model_transition_best"))
+    assert trainer.extra_best["af_"]["rotation"] < np.inf
+
+
 def test_evaluator_end_to_end(synth_root, tmp_path):
     import jax
 

@@ -205,6 +205,107 @@ def test_forward_parity_with_reference():
     np.testing.assert_allclose(np.asarray(got["sq"]), sd["sq"], atol=1e-7)
 
 
+@pytest.mark.filterwarnings("ignore")
+def test_gradient_parity_with_reference():
+    """d(Get_loss)/d(params) matches between the live torch reference and the
+    converted flax model on one batch (eval-mode graphs: BN on running stats,
+    dropout off — the forward graphs are already parity-tested, this checks
+    the whole backward: conv/dense transposes, gather VJPs, cost-volume and
+    pose-head backward, sx/sq exp terms; ref train20v2learn_wandb.py:793-796
+    loss.backward()).
+
+    The grad dict is converted with the SAME layout converter as the weights
+    (transposes/reshapes are value-wise, so grad-of-transposed-param ==
+    transposed-grad-of-param)."""
+    import jax
+    import jax.numpy as jnp
+
+    from i2pnet_tpu.config import I2PNetConfig
+    from i2pnet_tpu.losses import registration_loss
+    from i2pnet_tpu.models import I2PNet
+    from tools.convert_torch_checkpoint import convert_free_point
+
+    ref_cfg = _ref_tiny_cfg()
+    from compute_loss import Get_loss
+    from src.modellearn import RegNet_v2
+
+    torch.manual_seed(0)
+    ref_model = RegNet_v2(cfg=ref_cfg)
+    ref_model.eval()  # BN running stats + no dropout on both sides
+
+    rng = np.random.default_rng(0)
+    B, N, H, W = 2, 512, 64, 128
+    rgb = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+    lidar = rng.uniform(-5, 5, size=(B, N, 3)).astype(np.float32)
+    lidar[..., 2] += 12.0
+    intrinsic = np.tile(
+        np.array([[[64.0, 0, 64], [0, 64.0, 32], [0, 0, 1]]], np.float32),
+        (B, 1, 1),
+    )
+    q_gt = np.tile(np.array([[0.9988, 0.0, 0.0499, 0.0]], np.float32), (B, 1))
+    t_gt = np.tile(np.array([[0.5, -0.2, 0.1]], np.float32), (B, 1))
+
+    out = ref_model(
+        torch.from_numpy(rgb).permute(0, 3, 1, 2),
+        torch.from_numpy(lidar),
+        None,
+        torch.from_numpy(intrinsic),
+        None,
+        cfg=ref_cfg,
+        lidar_img_raw=torch.from_numpy(lidar),
+    )
+    ref_loss, _, _ = Get_loss(
+        out[0], out[1], torch.from_numpy(q_gt), torch.from_numpy(t_gt),
+        out[4], out[5], ref_cfg,
+    )
+    ref_model.zero_grad()
+    ref_loss.backward()
+
+    sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
+    named_params = dict(ref_model.named_parameters())
+    grad_sd = {
+        k: (named_params[k].grad.numpy()
+            if k in named_params and named_params[k].grad is not None
+            else np.zeros_like(v))
+        for k, v in sd.items()
+    }
+    want_grads = convert_free_point(grad_sd)["params"]
+
+    variables = convert_free_point(sd)
+    cfg = I2PNetConfig.tiny()
+    model = I2PNet(cfg)
+
+    def loss_fn(params):
+        o = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(rgb), jnp.asarray(lidar), jnp.asarray(intrinsic),
+            train=False,
+        )
+        loss, _, _ = registration_loss(
+            o["out3"], o["out4"], jnp.asarray(q_gt), jnp.asarray(t_gt),
+            o["sx"], o["sq"], l1_trans=True,
+        )
+        return loss
+
+    loss, got_grads = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+
+    flat_got = jax.tree_util.tree_leaves_with_path(got_grads)
+    flat_want = dict(jax.tree_util.tree_leaves_with_path(
+        jax.tree_util.tree_map(jnp.asarray, want_grads)))
+    assert flat_want.keys() == dict(flat_got).keys()
+    worst = (0.0, None)
+    for path, g in flat_got:
+        w = np.asarray(flat_want[path])
+        g = np.asarray(g)
+        scale = max(np.abs(w).max(), 1e-3)
+        rel = np.abs(g - w).max() / scale
+        if rel > worst[0]:
+            worst = (rel, jax.tree_util.keystr(path))
+        assert rel < 5e-3, (jax.tree_util.keystr(path), rel, scale)
+    print(f"gradient parity: worst rel diff {worst[0]:.2e} at {worst[1]}")
+
+
 def test_loss_parity_with_reference():
     """registration_loss == reference Get_loss (incl. the level-weight
     orientation: 1.6 on out4/coarse, 0.8 on out3/refined)."""

@@ -127,6 +127,84 @@ def test_projection_mask_training_path():
     assert acc.shape == (2,)
 
 
+def test_train_target_loss_composition():
+    """loss('all') == loss('regist') + 1.5 * loss('class') at identical
+    params/batch/rng (ref train20v2learn_wandb.py:756-793 --train_target)."""
+    import dataclasses
+
+    from i2pnet_tpu.train.step import _free_point_loss_fn
+
+    cfg = dataclasses.replace(
+        I2PNetConfig.tiny(),
+        use_projection_mask=True,
+        layer_mask=(True, True),
+        projection_mask_mlps=((16, 16), (16, 16)),
+    )
+    model = I2PNet(cfg)
+    batch = _synthetic_batch(cfg)
+    variables = model.init(
+        jax.random.key(0), batch["rgb"], batch["lidar"], batch["intrinsic"],
+        train=False,
+    )
+
+    def loss_for(target):
+        fn = _free_point_loss_fn(model, cfg, train_target=target)
+        loss, _ = fn(variables["params"], variables["batch_stats"], batch,
+                     jax.random.key(1), jnp.asarray(0))
+        return float(loss)
+
+    l_all, l_reg, l_cls = loss_for("all"), loss_for("regist"), loss_for("class")
+    np.testing.assert_allclose(l_all, l_reg + 1.5 * l_cls, rtol=1e-5)
+    with pytest.raises(ValueError):
+        _free_point_loss_fn(model, cfg, train_target="bogus")
+
+
+def test_delay_weight_anneals_with_global_step():
+    """With mask_delay=True the gt->pred mask blend must move as training
+    advances (ref MainModules.py:431-449 decrements now_step once per
+    training forward; our counter is max(delay_step - state.step, 0))."""
+    import dataclasses
+
+    from i2pnet_tpu.losses import get_projection_gt
+    from i2pnet_tpu.train.step import _delay_now_step
+
+    cfg = dataclasses.replace(
+        I2PNetConfig.tiny(),
+        use_projection_mask=True,
+        layer_mask=(True, True),
+        ground_truth_mask_layer=(True, True),
+        mask_delay=True,
+        mask_delay_step=4,
+        projection_mask_mlps=((16, 16), (16, 16)),
+    )
+    # counter math: counts down from delay_step, clips at 0
+    assert float(_delay_now_step(cfg, jnp.asarray(0))) == 4.0
+    assert float(_delay_now_step(cfg, jnp.asarray(3))) == 1.0
+    assert float(_delay_now_step(cfg, jnp.asarray(99))) == 0.0
+    assert _delay_now_step(dataclasses.replace(cfg, mask_delay=False), None) is None
+
+    model = I2PNet(cfg)
+    batch = _synthetic_batch(cfg)
+    gp_labels = get_projection_gt(
+        batch["lidar"], batch["intrinsic"], (64, 128),
+        batch["decalib_q_gt"], batch["decalib_t_gt"],
+    )
+    batch["gt_project"] = jax.nn.one_hot(gp_labels, 2)
+    variables = model.init(
+        jax.random.key(0), batch["rgb"], batch["lidar"], batch["intrinsic"],
+        gt_project=batch["gt_project"], train=False,
+    )
+    state = create_train_state(model, variables, lr=1e-3, steps_per_epoch=100)
+    step = jax.jit(make_train_step(model, cfg))
+
+    # identical params/batch/rng, different global step -> the delay blend
+    # (and nothing else) changes, so the loss must differ: at step 0 the
+    # heads see pure gt masks, at step >= delay_step pure predicted masks
+    _, m0 = step(state, batch, jax.random.key(0))
+    _, m_late = step(state.replace(step=jnp.asarray(50)), batch, jax.random.key(0))
+    assert float(m0["loss"]) != float(m_late["loss"])
+
+
 def test_timings_profiler():
     from i2pnet_tpu.utils import Timings
 

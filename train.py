@@ -42,6 +42,11 @@ def parse_args(argv=None):
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="conv/dense compute dtype (params stay f32)")
+    p.add_argument("--train_target", default="all",
+                   choices=["all", "regist", "class"],
+                   help="loss composition: registration+mask, registration "
+                        "only, or mask-classification only (ref "
+                        "train20v2learn_wandb.py --train_target)")
     return p.parse_args(argv)
 
 
@@ -145,6 +150,7 @@ def main(argv=None):
         resume=args.resume,
         accum_steps=args.accum_steps,
         run_flags=vars(args),
+        train_target=args.train_target,
     )
     trainer.train()
 
