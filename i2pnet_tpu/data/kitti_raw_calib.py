@@ -98,8 +98,9 @@ class KittiRawCalibDataset:
     def __len__(self) -> int:
         return len(self.img_path)
 
-    def get_decalibration(self):
-        """ref dataset.py:258-286."""
+    def get_decalibration(self, index: Optional[int] = None):
+        """ref dataset.py:258-286. index is unused here; subclasses with
+        fixed per-sample decalib tables key on it."""
         if self.fixed_decalib:
             vals = [np.deg2rad(self.d_rot)] * 3 + [self.d_trans] * 3
         else:
@@ -122,7 +123,7 @@ class KittiRawCalibDataset:
         rgb_img = cv2.imread(self.img_path[index])[:, :, ::-1]
         rgb_img = np.ascontiguousarray(rgb_img)
 
-        decalib_extrinsic = self.get_decalibration()
+        decalib_extrinsic = self.get_decalibration(index)
         calib_extrinsic = np.linalg.pinv(
             np.vstack([decalib_extrinsic, [0, 0, 0, 1]])
         )[:3, :]
@@ -178,3 +179,81 @@ class KittiRawCalibDataset:
             "index": index,
             "path_info": self.lidar_path[index],
         }
+
+
+class KittiRGGDataset(KittiRawCalibDataset):
+    """RGGNet-protocol dataset: raw-KITTI pairs with FIXED per-sample
+    decalibrations from a rgg_data_*.pkl built by
+    data/preprocess.generate_rgg_splits (ref data_preprocess/generate_rgg.py;
+    the protocol's MSEE/MRR metrics need every evaluation to see the same
+    perturbations).
+
+    The pkl carries img/lidar path arrays plus (N, 3) rot (euler degrees,
+    applied zyx like the online-calib sampler) and (N, 3) trans (meters)
+    tables; *_val splits also carry 'train_split' indices — mode='train'
+    selects them, mode='val' the complement, mode='test' everything.
+
+    Calibration comes from the raw tree's own calib files when present
+    (RawCalib on the date dir), else from CALIB_BY_DATE.
+    """
+
+    def __init__(
+        self,
+        pkl_path: str,
+        mode: str = "test",
+        base_path: Optional[str] = None,
+        resize_w: int = 1216,
+        resize_h: int = 352,
+        sample_point: int = 8192,
+        seed: int = 0,
+        pc_filter: bool = True,
+    ):
+        import pickle
+
+        self.resize_w, self.resize_h = resize_w, resize_h
+        self.sample_point = sample_point
+        self.pc_filter = pc_filter
+        self.fixed_decalib = False
+        self.rng = np.random.default_rng(seed)
+
+        with open(pkl_path, "rb") as f:
+            data = pickle.load(f)
+        n = len(data["img"])
+        if mode == "train" and "train_split" in data:
+            idx = np.asarray(data["train_split"], np.int64)
+        elif mode == "val" and "train_split" in data:
+            idx = np.setdiff1d(np.arange(n), np.asarray(data["train_split"]))
+        else:
+            idx = np.arange(n)
+        self.img_path = [str(p) for p in np.asarray(data["img"])[idx]]
+        self.lidar_path = [str(p) for p in np.asarray(data["lidar"])[idx]]
+        self.rot_table = np.asarray(data["rot"], np.float64)[idx]
+        self.trans_table = np.asarray(data["trans"], np.float64)[idx]
+
+        # date dir: .../<base>/<date>/<date>_drive_xxxx_sync/image_02/...
+        drive_dir = os.path.dirname(
+            os.path.dirname(os.path.dirname(self.img_path[0]))
+        )
+        date_dir = os.path.dirname(drive_dir)
+        date = os.path.basename(date_dir)
+        from i2pnet_tpu.data.calib import RawCalib
+
+        if os.path.exists(os.path.join(date_dir, "calib_cam_to_cam.txt")):
+            rc = RawCalib(date_dir)
+            self.cam_intrinsic = rc.intrinsic
+            self.velo_extrinsic = rc.extrinsic
+        else:
+            params = CALIB_BY_DATE[date]
+            self.cam_intrinsic = np.array(
+                [[params["fx"], 0, params["cx"]],
+                 [0, params["fy"], params["cy"]], [0, 0, 1]]
+            )
+            self.velo_extrinsic = np.hstack(
+                [np.asarray(params["rot"]), np.asarray(params["trans"])]
+            )
+
+    def get_decalibration(self, index: Optional[int] = None):
+        r = np.deg2rad(self.rot_table[index])
+        rot = euler_to_rotmat(r[0], r[1], r[2])
+        trans = self.trans_table[index].reshape(3, 1)
+        return np.hstack([rot, trans])

@@ -146,6 +146,182 @@ def build_local_maps(
     return len(poses)
 
 
+def _load_pose(path: str) -> np.ndarray:
+    """Per-frame 4x4 pose npz; accepts both this repo's 'pose' key and the
+    reference's positional 'arr_0' (ref kitti_pc_acc.py:47,81)."""
+    d = np.load(path)
+    return (d["pose"] if "pose" in d else d["arr_0"]).astype(np.float32)
+
+
+def accumulate_point_cloud(
+    pc_folder: str,
+    pose_folder: str,
+    seq_i: int,
+    seq_sample_num: int,
+    Pc: np.ndarray,
+    accumulation_frame_num: int = 3,
+    accumulation_frame_skip: int = 6,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Accumulate neighbor sweeps into frame i's cloud
+    (ref data_preprocess/kitti_pc_acc.py:25-112 get_accumulated_pc).
+
+    pc_folder holds (7, N) npys [xyz, intensity, normals]; pose_folder
+    per-frame 4x4 npz. Up to accumulation_frame_num frames are taken every
+    accumulation_frame_skip steps in each direction; each is warped into
+    frame i's camera-conditioned frame by Pc^-1 @ P_i^-1 P_j @ Pc, with the
+    rotation-only transform applied to the normals. Frame i's own points are
+    shuffled first (the reference calls this 'necessary': downstream loaders
+    truncate, so the order must not encode the scan pattern).
+
+    Returns (7, M) accumulated [xyz, intensity, normals].
+    """
+    rng = rng or np.random.default_rng(0)
+    data = np.load(os.path.join(pc_folder, "%06d.npy" % seq_i)).astype(np.float32)
+    data = data[:, rng.permutation(data.shape[1])]
+    parts = [data]
+    P_oi = _load_pose(os.path.join(pose_folder, "%06d.npz" % seq_i))
+    P_io = np.linalg.inv(P_oi)
+    Pc_inv = np.linalg.inv(Pc)
+    for stride in (-accumulation_frame_skip, accumulation_frame_skip):
+        counter = 0
+        found = 0
+        while found < accumulation_frame_num:
+            counter += 1
+            seq_j = seq_i + stride * counter
+            if seq_j < 0 or seq_j >= seq_sample_num:
+                break
+            nb = np.load(os.path.join(pc_folder, "%06d.npy" % seq_j)).astype(
+                np.float32
+            )
+            P_oj = _load_pose(os.path.join(pose_folder, "%06d.npz" % seq_j))
+            P = Pc_inv @ (P_io @ P_oj) @ Pc
+            xyz = P[:3, :3] @ nb[0:3] + P[:3, 3:4]
+            sn = P[:3, :3] @ nb[4:7]
+            parts.append(np.concatenate([xyz, nb[3:4], sn], axis=0))
+            found += 1
+    return np.concatenate(parts, axis=1)
+
+
+def process_sequence_accumulation(
+    pc_folder: str,
+    pose_folder: str,
+    calib_path: str,
+    out_folder_snr: str,
+    out_folder_pc: str,
+    downsample_voxel: float = 0.3,
+    max_points: int = 2 * 20480,
+    seed: int = 0,
+) -> int:
+    """kitti_pc_acc.py's per-sequence driver (ref :163-202): accumulate every
+    frame, voxel-downsample when the cloud exceeds max_points, write both the
+    full (7, N) '*_snr_acc' npy and the bare-xyz '*_acc' npy."""
+    from i2pnet_tpu.data.calib import read_calib
+
+    Tr, _, P = read_calib(calib_path)
+    Pc = P @ np.vstack([Tr, [0, 0, 0, 1]])
+    os.makedirs(out_folder_snr, exist_ok=True)
+    os.makedirs(out_folder_pc, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n = len([f for f in os.listdir(pc_folder) if f.endswith(".npy")])
+    for i in range(n):
+        acc = accumulate_point_cloud(pc_folder, pose_folder, i, n, Pc, rng=rng)
+        if acc.shape[1] > max_points:
+            acc = voxel_downsample(acc.T, downsample_voxel).T
+        np.save(os.path.join(out_folder_snr, "%06d.npy" % i),
+                acc.astype(np.float32))
+        np.save(os.path.join(out_folder_pc, "%06d.npy" % i),
+                acc[0:3].astype(np.float32))
+    return n
+
+
+# RGGNet-protocol split definitions (ref data_preprocess/generate_rgg.py:6-91
+# — protocol constants: raw-KITTI drives, sample counts, decalib amplitudes).
+_RGG_DRIVES_0926 = (1, 2, 9, 11, 13, 14, 15, 17, 18, 19, 20, 22, 23, 27, 28,
+                    29, 32, 35, 36, 39, 46, 48, 51, 52, 56, 57, 59, 60, 61,
+                    64, 79, 84, 86, 87, 91, 93, 95, 96, 101, 104, 106, 113,
+                    117)
+RGG_SPLITS = {
+    "train1_val": dict(date="2011_09_26", num=24000, drives=_RGG_DRIVES_0926,
+                       rot=15.0, trans=0.2, train_split=22000),
+    "train2": dict(date="2011_09_26", num=4000, drives=_RGG_DRIVES_0926,
+                   rot=0.0, trans=0.3),
+    "train3": dict(date="2011_09_26", num=4000, drives=_RGG_DRIVES_0926,
+                   rot=20.0, trans=0.0),
+    "train_val_ex": dict(date="2011_10_03", num=2000, drives=(27,),
+                         rot=2.0, trans=0.3, train_split=1800),
+    "T1": dict(date="2011_09_26", num=2000, drives=(5, 70), rot=15.0, trans=0.2),
+    "T2a": dict(date="2011_09_26", num=2000, drives=_RGG_DRIVES_0926,
+                rot=10.0, trans=0.2),
+    "T2b": dict(date="2011_09_26", num=2000, drives=(5, 70), rot=10.0, trans=0.2),
+    "T3": dict(date="2011_10_03", num=2000, drives=(27,), rot=2.0, trans=0.3),
+}
+
+
+def generate_rgg_splits(
+    base_path: str,
+    save_dir: str,
+    seed: int = 0,
+    splits: Optional[Sequence[str]] = None,
+) -> list:
+    """Build the RGGNet-protocol fixed decalib test/train sets
+    (ref generate_rgg.py:94-191): per split, sample `num` (image, lidar)
+    pairs from the drives (with repetition when the pool is smaller) and a
+    fixed per-sample euler-degree rot / meter trans table; pickle as
+    rgg_data_<key>.pkl. Splits with a train_split count also carry the
+    train-index subset. Returns the written paths."""
+    import pickle
+
+    os.makedirs(save_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    written = []
+    for key, p in RGG_SPLITS.items():
+        if splits is not None and key not in splits:
+            continue
+        imgs, lidars = [], []
+        for drive in p["drives"]:
+            drive_dir = os.path.join(
+                base_path, p["date"], f"{p['date']}_drive_{drive:04d}_sync"
+            )
+            img_dir = os.path.join(drive_dir, "image_02", "data")
+            lid_dir = os.path.join(drive_dir, "velodyne_points", "data")
+            if not os.path.isdir(img_dir):
+                continue
+            imgs.extend(
+                os.path.join(img_dir, f)
+                for f in sorted(os.listdir(img_dir)) if f.endswith(".png")
+            )
+            lidars.extend(
+                os.path.join(lid_dir, f)
+                for f in sorted(os.listdir(lid_dir)) if f.endswith(".bin")
+            )
+        M, N = len(imgs), p["num"]
+        if M == 0:
+            continue
+        if M >= N:
+            choice = rng.choice(M, N, replace=False)
+        else:  # tile full permutations, then top up (ref :123-127)
+            choice = np.concatenate(
+                [rng.permutation(M) for _ in range(N // M)]
+                + [rng.choice(M, N % M, replace=False)]
+            )[:N]
+        data = {
+            "img": np.array(imgs)[choice],
+            "lidar": np.array(lidars)[choice],
+            "rot": rng.random((N, 3)) * (2 * p["rot"]) - p["rot"],
+            "trans": rng.random((N, 3)) * (2 * p["trans"]) - p["trans"],
+        }
+        if "train_split" in p:
+            data["train_split"] = rng.choice(
+                N, min(p["train_split"], N), replace=False
+            )
+        out = os.path.join(save_dir, f"rgg_data_{key}.pkl")
+        with open(out, "wb") as f:
+            pickle.dump(data, f)
+        written.append(out)
+    return written
+
+
 def generate_test_rt(
     n: int,
     max_r_deg: float = 10.0,

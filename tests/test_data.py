@@ -257,3 +257,126 @@ def test_kitti_raw_calib(raw_root):
     corr = np.vstack([np.hstack([R, t.reshape(3, 1)]), [0, 0, 0, 1]])
     velo_rec = (corr @ init4)[:3]
     np.testing.assert_allclose(velo_rec, ds.velo_extrinsic, atol=1e-5)
+
+
+def test_generate_rgg_splits_and_dataset(raw_root, tmp_path):
+    """RGG protocol: split generation (ref generate_rgg.py:94-191) feeds the
+    fixed-decalib dataset; same pkl -> identical perturbations every run."""
+    from i2pnet_tpu.data import KittiRGGDataset
+    from i2pnet_tpu.data.preprocess import generate_rgg_splits
+
+    save_dir = str(tmp_path / "rgg")
+    written = generate_rgg_splits(raw_root, save_dir, seed=0, splits=["T1"])
+    assert len(written) == 1 and written[0].endswith("rgg_data_T1.pkl")
+
+    import pickle
+
+    with open(written[0], "rb") as f:
+        data = pickle.load(f)
+    # T1: 2000 samples from drives (5, 70) — fixture only has drive 5 with
+    # 2 frames, so paths repeat (tiled permutations, ref :123-127)
+    assert len(data["img"]) == 2000 and len(data["lidar"]) == 2000
+    assert data["rot"].shape == (2000, 3) and np.abs(data["rot"]).max() <= 15.0
+    assert np.abs(data["trans"]).max() <= 0.2
+
+    ds = KittiRGGDataset(written[0], mode="test", sample_point=2048, seed=0)
+    assert len(ds) == 2000
+    s0a = ds[0]
+    s0b = KittiRGGDataset(written[0], mode="test", sample_point=2048, seed=0)[0]
+    # decalibration is FIXED per index (the protocol's whole point)
+    np.testing.assert_array_equal(s0a["decalib_real_gt"], s0b["decalib_real_gt"])
+    np.testing.assert_array_equal(s0a["decalib_dual_gt"], s0b["decalib_dual_gt"])
+    assert s0a["rgb"].shape == (352, 1216, 3)
+    assert s0a["lidar"].shape == (2048, 3)
+
+    # train/val split partitions a *_val pkl; this split's date dir also
+    # carries raw calib files, exercising the RawCalib path
+    date_dir = tmp_path / "raw2" / "2011_10_03"
+    drive_dir = date_dir / "2011_10_03_drive_0027_sync"
+    (drive_dir / "image_02" / "data").mkdir(parents=True)
+    (drive_dir / "velodyne_points" / "data").mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    import cv2
+
+    for i in range(2):
+        cv2.imwrite(str(drive_dir / "image_02" / "data" / f"{i:010d}.png"),
+                    rng.integers(0, 255, size=(376, 1241, 3), dtype=np.uint8))
+        rng.uniform(2, 50, size=(5000, 4)).astype(np.float32).tofile(
+            drive_dir / "velodyne_points" / "data" / f"{i:010d}.bin")
+    (date_dir / "calib_cam_to_cam.txt").write_text(
+        "R_rect_00: 1 0 0 0 1 0 0 0 1\n"
+        "P_rect_02: 700.0 0.0 600.0 40.0 0.0 700.0 180.0 1.0 0.0 0.0 1.0 0.005\n"
+    )
+    (date_dir / "calib_velo_to_cam.txt").write_text(
+        "R: 0 -1 0 0 0 -1 1 0 0\nT: 0.05 -0.07 -0.27\n"
+    )
+    gen2 = generate_rgg_splits(str(tmp_path / "raw2"), save_dir, seed=0,
+                               splits=["train_val_ex"])
+    tr = KittiRGGDataset(gen2[0], mode="train", sample_point=1024)
+    vl = KittiRGGDataset(gen2[0], mode="val", sample_point=1024)
+    assert len(tr) + len(vl) == 2000 and len(tr) == 1800
+    s = tr[0]
+    assert s["lidar"].shape == (1024, 3)
+    # intrinsic came from the date dir's calib files, not CALIB_BY_DATE
+    assert abs(tr.cam_intrinsic[0, 0] - 700.0) < 1e-6
+
+
+def test_accumulate_point_cloud(tmp_path):
+    """Neighbor sweeps folded into frame i's frame with pose+calib chain
+    (ref kitti_pc_acc.py:25-112): a static world point seen from shifted
+    poses lands on itself after accumulation."""
+    from i2pnet_tpu.data.preprocess import (
+        accumulate_point_cloud,
+        process_sequence_accumulation,
+    )
+
+    pc_dir = tmp_path / "pc"
+    pose_dir = tmp_path / "poses"
+    pc_dir.mkdir()
+    pose_dir.mkdir()
+    rng = np.random.default_rng(0)
+    n_frames, skip = 13, 6
+    world_pts = rng.uniform(-5, 5, size=(3, 64)).astype(np.float32)
+    Pc = np.identity(4, np.float32)
+    Pc[:3, 3] = [0.1, -0.2, 0.3]
+    for i in range(n_frames):
+        pose = np.identity(4, np.float32)
+        pose[0, 3] = i * 2.0  # drive along x
+        np.savez(pose_dir / ("%06d.npz" % i), pose=pose)
+        # sensor-frame points of the static world cloud: Pc^-1 @ pose^-1 @ w
+        T = np.linalg.inv(pose @ Pc)
+        local = T[:3, :3] @ world_pts + T[:3, 3:4]
+        arr = np.concatenate(
+            [local, rng.uniform(0, 1, (1, 64)).astype(np.float32),
+             np.tile([[0.0], [0.0], [1.0]], (1, 64)).astype(np.float32)], 0,
+        )
+        np.save(pc_dir / ("%06d.npy" % i), arr)
+
+    acc = accumulate_point_cloud(str(pc_dir), str(pose_dir), 6, n_frames, Pc)
+    # frame 6 + 1 prev (frame 0) + 1 next (frame 12) in range at skip 6
+    assert acc.shape == (7, 64 * 3)
+    own = np.linalg.inv(np.asarray(
+        np.load(pose_dir / "000006.npz")["pose"]) @ Pc)
+    expect = own[:3, :3] @ world_pts + own[:3, 3:4]
+    # all three accumulated copies must coincide with frame 6's own view
+    for k in range(3):
+        chunk = acc[:3, 64 * k:64 * (k + 1)]
+        got = chunk[:, np.lexsort(chunk)]
+        want = expect[:, np.lexsort(expect)]
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # sequence driver writes both npy families
+    calib = tmp_path / "calib.txt"
+    calib.write_text(
+        "P2: 64.0 0.0 64.0 0.0 0.0 64.0 32.0 0.0 0.0 0.0 1.0 0.0\n"
+        "Tr: 1.0 0.0 0.0 0.1 0.0 1.0 0.0 -0.2 0.0 0.0 1.0 0.3\n"
+    )
+    out_snr = tmp_path / "acc_snr"
+    out_pc = tmp_path / "acc_pc"
+    n = process_sequence_accumulation(
+        str(pc_dir), str(pose_dir), str(calib), str(out_snr), str(out_pc)
+    )
+    assert n == n_frames
+    a = np.load(out_snr / "000000.npy")
+    b = np.load(out_pc / "000000.npy")
+    assert a.shape[0] == 7 and b.shape[0] == 3 and a.shape[1] == b.shape[1]
