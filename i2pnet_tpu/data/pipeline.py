@@ -1,13 +1,24 @@
 """Input pipeline: batching, shuffling, background prefetch to device.
 
 Replaces the reference's torch DataLoader worker-pool (ref
-train20v2learn_wandb.py:156-180) with a thread-backed prefetcher feeding
-sharded device arrays: numpy batch assembly overlaps with the device step,
-and device_put lands the batch directly in its DP sharding.
+train20v2learn_wandb.py:156-180) with prefetchers feeding sharded device
+arrays: numpy batch assembly overlaps with the device step, and device_put
+lands the batch directly in its DP sharding.
+
+Two assembly backends:
+  * num_workers == 0 — one background thread (right for this 1-core box);
+  * num_workers >= 1 — a forked process pool assembling whole batches in
+    parallel with bounded in-flight submission (the multi-worker feeder an
+    8-chip host needs; ref DataLoader(num_workers=8) equivalent). Results
+    are consumed strictly in submission order, so shuffling stays
+    deterministic for a given seed regardless of worker count.
 """
 
 from __future__ import annotations
 
+import collections
+import concurrent.futures
+import multiprocessing
 import queue
 import threading
 from typing import Callable, Dict, Iterator, List, Optional, Sequence
@@ -57,10 +68,29 @@ def to_model_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return {KEY_RENAMES.get(k, k): v for k, v in batch.items()}
 
 
+# fork-inherited worker state: set in the parent right before the pool is
+# created so child processes see it without per-task pickling of the dataset
+_WORKER_STATE: dict = {}
+
+
+def _assemble_batch(task):
+    """Worker-side batch assembly (runs in forked children)."""
+    bidx, device_only = task
+    ds = _WORKER_STATE["dataset"]
+    transform = _WORKER_STATE["transform"]
+    samples = [ds[int(i)] for i in bidx]
+    b = collate(samples, device_only=device_only)
+    if transform is not None:
+        b = transform(b)
+    return b
+
+
 class BatchLoader:
-    """Shuffled epoch iterator with a background prefetch thread.
+    """Shuffled epoch iterator with background prefetch.
 
     dataset: any object with __len__/__getitem__ returning sample dicts.
+    num_workers=0 uses one prefetch thread; >=1 uses a forked process pool
+    with at most num_workers + prefetch batches in flight (bounded memory).
     """
 
     def __init__(
@@ -73,6 +103,7 @@ class BatchLoader:
         prefetch: int = 2,
         device_only: bool = False,
         transform: Optional[Callable[[dict], dict]] = None,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -81,6 +112,7 @@ class BatchLoader:
         self.prefetch = prefetch
         self.device_only = device_only
         self.transform = transform
+        self.num_workers = num_workers
         self.rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -95,6 +127,9 @@ class BatchLoader:
         return [idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.num_workers >= 1:
+            yield from self._iter_multiprocess()
+            return
         batches = self._index_batches()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
@@ -117,6 +152,32 @@ class BatchLoader:
             if item is stop:
                 break
             yield item
+
+    def _iter_multiprocess(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._index_batches()
+        # fork context: children inherit _WORKER_STATE without pickling the
+        # dataset per task (spawn would re-import and lose it)
+        _WORKER_STATE["dataset"] = self.dataset
+        _WORKER_STATE["transform"] = self.transform
+        ctx = multiprocessing.get_context("fork")
+        max_inflight = self.num_workers + max(self.prefetch, 1)
+        with concurrent.futures.ProcessPoolExecutor(
+            max_workers=self.num_workers, mp_context=ctx
+        ) as pool:
+            pending: "collections.deque" = collections.deque()
+            it = iter(batches)
+            try:
+                for bidx in it:
+                    pending.append(
+                        pool.submit(_assemble_batch, (bidx, self.device_only))
+                    )
+                    if len(pending) >= max_inflight:
+                        yield pending.popleft().result()
+                while pending:
+                    yield pending.popleft().result()
+            finally:
+                for f in pending:
+                    f.cancel()
 
 
 def prefetch_to_device(iterator, sharding=None, size: int = 2):

@@ -19,6 +19,7 @@ group_points_gpu.cu, interpolate_gpu.cu) and its python wrappers
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -78,10 +79,19 @@ def knn_point(
     (93 ms of a 182 ms step at (8,2048,8192) k=32); approx_min_k's tiled
     partial reduction does it in ~7 ms at recall ~0.99. Ordering uses the
     per-row-shift-invariant score |d|^2 - 2 q.d. exact=None auto-selects:
-    exact off TPU (tests, parity), approximate on TPU.
+    exact off TPU (tests, parity), approximate on TPU; the
+    I2PNET_KNN_MODE env var (exact|approx, read at trace time) overrides
+    the auto-selection — used by tools/knn_accuracy_eval.py to measure the
+    approximation's metric cost on identical weights.
     """
     if exact is None:
-        exact = jax.default_backend() != "tpu"
+        env = os.environ.get("I2PNET_KNN_MODE")
+        if env == "exact":
+            exact = True
+        elif env == "approx":
+            exact = False
+        else:
+            exact = jax.default_backend() != "tpu"
     if exact:
         sqrdists = square_distance(new_xyz, xyz)
         _, idx = jax.lax.top_k(-sqrdists, nsample)
@@ -121,12 +131,18 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
     (ref pointnet_util.py:60-78 index_points and point_utils.py:5-16
     index_points_group — one batched XLA gather covers both.)
+
+    Routed through take_rows so the transpose (the reference's atomicAdd
+    backward, pointnet2_utils.py:93-101) is the sort-based segment sum of
+    ops/scatter.py rather than XLA's serial scatter expansion.
     """
+    from i2pnet_tpu.ops.scatter import take_rows
+
     if idx.ndim == 2:
-        return jnp.take_along_axis(points, idx[..., None], axis=1)
+        return take_rows(points, idx)
     if idx.ndim == 3:
         B, S, K = idx.shape
-        flat = jnp.take_along_axis(points, idx.reshape(B, S * K)[..., None], axis=1)
+        flat = take_rows(points, idx.reshape(B, S * K))
         return flat.reshape(B, S, K, points.shape[-1])
     raise ValueError(f"idx must be rank 2 or 3, got {idx.ndim}")
 

@@ -56,11 +56,15 @@ def gather_grid(
     feature: jnp.ndarray, h_idx: jnp.ndarray, w_idx: jnp.ndarray
 ) -> jnp.ndarray:
     """Gather (B, H, W, C) by per-batch (h, w) index arrays of any shape
-    (ref utils.py:36-60 gather_torch, one flattened XLA gather)."""
+    (ref utils.py:36-60 gather_torch, one flattened XLA gather; the
+    transpose goes through ops/scatter.take_rows' sort-based segment sum
+    instead of XLA's serial scatter)."""
+    from i2pnet_tpu.ops.scatter import take_rows
+
     B, H, W, C = feature.shape
     flat = feature.reshape(B, H * W, C)
     lin = (h_idx * W + w_idx).reshape(B, -1)
-    out = jnp.take_along_axis(flat, lin[..., None], axis=1)
+    out = take_rows(flat, lin)
     return out.reshape(h_idx.shape + (C,))
 
 

@@ -5,3 +5,9 @@ from i2pnet_tpu.parallel.mesh import (
     shard_train_step,
     shard_batch,
 )
+from i2pnet_tpu.parallel.distributed import (
+    maybe_initialize_distributed,
+    process_info,
+    host_batch_slice,
+    make_global_batch,
+)

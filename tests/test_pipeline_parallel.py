@@ -1,0 +1,104 @@
+"""Multi-worker BatchLoader and multi-host input-sharding hooks.
+
+The process-pool loader must yield byte-identical batches in the same
+order as the single-thread path for a given seed (the reference's
+num_workers=8 DataLoader is seeded for the same property, ref
+train20v2learn_wandb.py:156-167). The distributed helpers are exercised in
+their single-process form plus the host-slice arithmetic for N processes.
+"""
+
+import numpy as np
+import pytest
+
+from i2pnet_tpu.data.pipeline import BatchLoader
+from i2pnet_tpu.parallel import (
+    host_batch_slice,
+    make_global_batch,
+    make_mesh,
+    maybe_initialize_distributed,
+    process_info,
+)
+
+
+class _ArrayDataset:
+    def __init__(self, n=23, d=5, seed=3):
+        rng = np.random.default_rng(seed)
+        self.x = rng.normal(size=(n, d)).astype(np.float32)
+
+    def __len__(self):
+        return len(self.x)
+
+    def __getitem__(self, i):
+        return {"x": self.x[i], "index": np.int32(i)}
+
+
+def _epoch(loader):
+    return [{k: np.asarray(v) for k, v in b.items()} for b in loader]
+
+
+def test_multiworker_matches_single_thread_order():
+    ds = _ArrayDataset()
+    ref = _epoch(BatchLoader(ds, 4, shuffle=True, seed=7, num_workers=0))
+    got = _epoch(BatchLoader(ds, 4, shuffle=True, seed=7, num_workers=2))
+    assert len(ref) == len(got) == 5
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a["x"], b["x"])
+        np.testing.assert_array_equal(a["index"], b["index"])
+
+
+def test_multiworker_applies_transform_and_drop_last():
+    ds = _ArrayDataset(n=10)
+
+    def double(b):
+        b["x"] = b["x"] * 2
+        return b
+
+    loads = _epoch(
+        BatchLoader(
+            ds, 4, shuffle=False, drop_last=False, num_workers=2, transform=double
+        )
+    )
+    assert [len(b["x"]) for b in loads] == [4, 4, 2]
+    np.testing.assert_allclose(loads[0]["x"], ds.x[:4] * 2, rtol=1e-6)
+
+
+def test_maybe_initialize_noop_without_env(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+    assert maybe_initialize_distributed() is False
+
+
+def test_process_info_single():
+    assert process_info() == (0, 1)
+
+
+def test_host_batch_slice_single_process():
+    assert host_batch_slice(8) == slice(0, 8)
+
+
+def test_host_batch_slice_divisibility():
+    with pytest.raises(ValueError):
+        # single process: only divisibility by 1 applies, so force the
+        # error via a mocked count
+        import i2pnet_tpu.parallel.distributed as D
+
+        orig = D.process_info
+        D.process_info = lambda: (1, 3)
+        try:
+            host_batch_slice(8)
+        finally:
+            D.process_info = orig
+
+
+def test_make_global_batch_shards_on_mesh():
+    import jax
+
+    mesh = make_mesh(jax.devices()[:4])
+    batch = {
+        "x": np.arange(8 * 3, dtype=np.float32).reshape(8, 3),
+        "meta": ["a"] * 8,
+    }
+    out = make_global_batch(mesh, batch)
+    assert out["meta"] == batch["meta"]
+    np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
+    assert len(out["x"].sharding.device_set) == 4

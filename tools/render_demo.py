@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--heat", action="store_true",
+                    help="append a pred-vs-gt reprojection-error heat panel")
+    ap.add_argument("--video", default=None,
+                    help="also stitch frames into this mp4/gif")
+    ap.add_argument("--fps", type=int, default=10)
     args = ap.parse_args()
 
     from i2pnet_tpu.utils.platform import honor_jax_platforms_env
@@ -115,6 +120,7 @@ def main():
 
     fwd = jax.jit(fwd)
     os.makedirs(args.out, exist_ok=True)
+    frames = []
     for i in range(min(args.frames, len(test_ds))):
         s = test_ds[i]
         out3 = np.asarray(
@@ -129,18 +135,34 @@ def main():
         # project the decalibrated cloud through identity (= initial pose),
         # the predicted correction, and the gt correction
         rgb_u8 = np.clip(s["rgb"], 0, 255).astype(np.uint8)
+        pred_E = _decalib_E(out3[0])
+        gt_E = _decalib_E(
+            np.concatenate([s["decalib_real_gt"], s["decalib_dual_gt"]])
+        )
         panel = render_comparison(
             rgb_u8,
             s["lidar"],
             np.eye(3, 4, dtype=np.float32),
-            _decalib_E(out3[0]),
-            _decalib_E(
-                np.concatenate([s["decalib_real_gt"], s["decalib_dual_gt"]])
-            ),
+            pred_E,
+            gt_E,
             s["init_intrinsic"],
         )
+        if args.heat:
+            from i2pnet_tpu.eval.visualize import render_error_heat
+
+            heat = render_error_heat(
+                rgb_u8, s["lidar"], pred_E, gt_E, s["init_intrinsic"]
+            )
+            panel = np.concatenate([panel, heat], axis=0)
         save_image(os.path.join(args.out, f"frame_{i:06d}.png"), panel)
+        if args.video:
+            frames.append(panel)
     print(f"wrote {min(args.frames, len(test_ds))} frames to {args.out}")
+    if args.video and frames:
+        from i2pnet_tpu.eval.visualize import write_video
+
+        written = write_video(args.video, frames, fps=args.fps)
+        print(f"wrote video {written}")
 
 
 def _decalib_E(qt7: np.ndarray) -> np.ndarray:
