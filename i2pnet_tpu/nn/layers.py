@@ -9,6 +9,7 @@ LeakyReLU(0.1) + MaxPool) becomes an NHWC conv stack.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Sequence, Tuple
 
@@ -17,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # torch BatchNorm defaults: eps 1e-5, running-stat update factor 0.1
 # (flax momentum = 1 - torch momentum).
@@ -35,21 +38,154 @@ def _pool3_fwd(x: jnp.ndarray, stride: int) -> jnp.ndarray:
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1,))
-def max_pool_3x3(x: jnp.ndarray, stride: int) -> jnp.ndarray:
-    """3x3 max-pool, stride s, pad 1 (the reference's MaxPool2d(3, s, 1),
-    ref basicConv.py:17) with a scatter-free backward.
+def _pool3_argtap(x, y, s):
+    """Winning window-tap index per output cell, int32 in [0, 9] (9 = none;
+    int8 would halve traffic but v5e Mosaic lacks 8-bit vector compares).
 
-    The native autodiff backward is XLA select-and-scatter, which owns
-    most of the RGB encoder's backward at 384x1280 (stage-1 ablation:
-    57 ms backward with pools vs 13 ms without, tools/bench_rgb_stage.py).
-    This VJP routes each output's cotangent to the FIRST max in window
-    scan order — identical semantics to select-and-scatter's >= select —
-    via an argtap min-tree plus ONE transposed convolution on the MXU.
-    (A 9-way interior-pad add tree was tried first and measured 4x WORSE
-    than select-and-scatter — pads don't fuse; the conv formulation is
-    the one that works.)
+    first-match == MIN matching tap index: associative, so the whole
+    computation is one parallel min-tree over the 9 shifted views of x —
+    identical tie routing to XLA select-and-scatter's >= select.
     """
+    B, H, W, C = x.shape
+    Ho, Wo = y.shape[1:3]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+    argtap = jnp.full(y.shape, 9, jnp.int32)
+    for o in range(9):
+        oh, ow = o // 3, o % 3
+        tap = lax.slice(
+            xp,
+            (0, oh, ow, 0),
+            (B, oh + (Ho - 1) * s + 1, ow + (Wo - 1) * s + 1, C),
+            (1, s, s, 1),
+        )
+        argtap = jnp.minimum(
+            argtap, jnp.where(tap == y, jnp.int32(o), jnp.int32(9))
+        )
+    return argtap
+
+
+def _pool3_route_kernel(s, Tq, Wo, nb):
+    """Pallas kernel: route output cotangents to winning input taps.
+
+    Tiles are channels-major (Cb, Tq, Wo) with the W axis in lanes; the
+    row halo (one output row each side) arrives as the prev/next row
+    blocks of the same arrays, masked at the global boundaries.
+    """
+
+    def kernel(at_prev, at_main, at_next, ct_prev, ct_main, ct_next, dx_ref):
+        i = pl.program_id(2)
+        atE = jnp.concatenate(
+            [at_prev[0, :, -1:], at_main[0], at_next[0, :, :1]], axis=1
+        )  # (Cb, Tq+2, Wo)
+        ctE = jnp.concatenate(
+            [ct_prev[0, :, -1:], ct_main[0], ct_next[0, :, :1]], axis=1
+        )
+        rowid = jax.lax.broadcasted_iota(jnp.int32, atE.shape, 1)
+        bad = ((i == 0) & (rowid == 0)) | ((i == nb - 1) & (rowid == Tq + 1))
+        atE = jnp.where(bad, jnp.int32(9), atE)
+        atE = jnp.pad(atE, ((0, 0), (0, 0), (1, 1)), constant_values=9)
+        ctE = jnp.pad(ctE, ((0, 0), (0, 0), (1, 1)))
+
+        if s == 1:
+            acc = None
+            for o in range(9):
+                oh, ow = o // 3, o % 3
+                contrib = jnp.where(atE == o, ctE, 0)
+                sl = contrib[:, 2 - oh : 2 - oh + Tq, 2 - ow : 2 - ow + Wo]
+                acc = sl if acc is None else acc + sl
+            dx_ref[0] = acc
+        else:  # s == 2: write input-parity planes; Mosaic cannot lane-
+            # interleave, so the wrapper transposes (ph, pw) planes back
+            # to (H, W) in XLA (one cheap transpose pass)
+            for ph in (0, 1):
+                for pw in (0, 1):
+                    acc = None
+                    for oh in range(3):
+                        for ow in range(3):
+                            if (oh + 1) % 2 != ph or (ow + 1) % 2 != pw:
+                                continue
+                            o = oh * 3 + ow
+                            j0 = (ph + 3 - oh) // 2
+                            k0 = (pw + 3 - ow) // 2
+                            contrib = jnp.where(atE == o, ctE, 0)
+                            sl = contrib[:, j0 : j0 + Tq, k0 : k0 + Wo]
+                            acc = sl if acc is None else acc + sl
+                    dx_ref[0, :, ph, pw] = acc
+
+    return kernel
+
+
+def _pool3_safe_tile(Ho: int, Wo: int, C: int):
+    """Largest row-tile Tq with the kernel's VMEM footprint in budget.
+
+    Per output element the kernel holds ~3x(i32+bf16) inputs + s^2 outputs,
+    double-buffered => ~52 B; cap tiles at ~8 MB of the 16 MB scoped limit
+    (stage-2 shapes OOM'd at Tq=32). None = no safe tile, use native.
+    """
+    return next(
+        (t for t in (32, 16, 8, 4, 2, 1) if Ho % t == 0 and C * t * Wo <= 160_000),
+        None,
+    )
+
+
+def _pool3_route_pallas(argtap, ct, s):
+    """dx (B, H, W, C) from argtap/ct (B, Ho, Wo, C); s in {1, 2} with
+    H == s * Ho, W == s * Wo."""
+    B, Ho, Wo, C = ct.shape
+    Tq = _pool3_safe_tile(Ho, Wo, C)
+    nb = Ho // Tq
+    at = jnp.transpose(argtap, (0, 3, 1, 2))  # (B, C, Ho, Wo)
+    c = jnp.transpose(ct, (0, 3, 1, 2))
+
+    def idx(shift):
+        return lambda b, cb, i: (b, cb, jnp.clip(i + shift, 0, nb - 1), 0)
+
+    spec_at = [
+        pl.BlockSpec((1, C, Tq, Wo), idx(sh), memory_space=pltpu.VMEM)
+        for sh in (-1, 0, 1)
+    ]
+    spec_ct = [
+        pl.BlockSpec((1, C, Tq, Wo), idx(sh), memory_space=pltpu.VMEM)
+        for sh in (-1, 0, 1)
+    ]
+    interp = jax.default_backend() == "cpu"
+    if s == 1:
+        out_spec = pl.BlockSpec(
+            (1, C, Tq, Wo),
+            lambda b, cb, i: (b, cb, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        dx = pl.pallas_call(
+            _pool3_route_kernel(s, Tq, Wo, nb),
+            grid=(B, 1, nb),
+            in_specs=spec_at + spec_ct,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((B, C, Ho, Wo), ct.dtype),
+            interpret=interp,
+        )(at, at, at, c, c, c)
+        return jnp.transpose(dx, (0, 2, 3, 1))
+    # s == 2: parity-major planes, interleaved back by one XLA transpose
+    out_spec = pl.BlockSpec(
+        (1, C, 2, 2, Tq, Wo),
+        lambda b, cb, i: (b, cb, 0, 0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    de = pl.pallas_call(
+        _pool3_route_kernel(s, Tq, Wo, nb),
+        grid=(B, 1, nb),
+        in_specs=spec_at + spec_ct,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C, 2, 2, Ho, Wo), ct.dtype),
+        interpret=interp,
+    )(at, at, at, c, c, c)
+    # dx[b, 2m+ph, 2n+pw, c] = de[b, c, ph, pw, m, n]
+    return jnp.transpose(de, (0, 4, 2, 5, 3, 1)).reshape(
+        B, 2 * Ho, 2 * Wo, C
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _pool3_custom(x: jnp.ndarray, stride: int) -> jnp.ndarray:
     return _pool3_fwd(x, stride)
 
 
@@ -60,65 +196,44 @@ def _pool3_vjp_fwd(x, stride):
 
 def _pool3_vjp_bwd(stride, res, ct):
     x, y = res
-    B, H, W, C = x.shape
-    Ho, Wo = y.shape[1:3]
-    s = stride
-    # pad with -inf: out-of-image window taps can never match the max
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
-    zero = jnp.zeros((), ct.dtype)
-
-    def tap_slice(oh, ow):
-        return lax.slice(
-            xp,
-            (0, oh, ow, 0),
-            (B, oh + (Ho - 1) * s + 1, ow + (Wo - 1) * s + 1, C),
-            (1, s, s, 1),
-        )
-
-    # first-match == MIN matching tap index: associative, so the whole
-    # argtap computation is one parallel min-tree (a single fused pass
-    # over the 9 shifted views) — no loop-carried dependency.
-    argtap = jnp.full(y.shape, 9, jnp.int8)
-    for o in range(9):
-        eq = tap_slice(o // 3, o % 3) == y
-        argtap = jnp.minimum(argtap, jnp.where(eq, jnp.int8(o), jnp.int8(9)))
-
-    # Route each output's cotangent to its winning tap position with ONE
-    # transposed convolution on the MXU: contrib stacks the 9 routed
-    # planes channel-wise, and a fixed 0/1 kernel with lhs_dilation=s
-    # performs every shift/dilation in a single well-optimized conv op
-    # (the earlier 9-way interior-pad add tree did not fuse: 427 ms).
-    tap = jax.lax.broadcasted_iota(jnp.int8, (9, 1), 0).reshape(1, 1, 1, 9, 1)
-    contrib = jnp.where(
-        argtap[:, :, :, None, :] == tap, ct[:, :, :, None, :], zero
-    ).reshape(B, Ho, Wo, 9 * C)
-
-    # K[kh, kw, (oh*3+ow)*C + c, c] = 1 with o = 2 - k (correlation index
-    # reversal); padding low 1, high H - (Ho-1)*s - 1 + 1 maps dilated
-    # output positions s*q - 1 + o onto the input grid exactly.
-    k = np.zeros((3, 3, 9 * C, C), np.float32)
-    for oh in range(3):
-        for ow in range(3):
-            o = oh * 3 + ow
-            for c in range(C):
-                k[2 - oh, 2 - ow, o * C + c, c] = 1.0
-    kernel = jnp.asarray(k, ct.dtype)
-
-    pad_h = (1, H - (Ho - 1) * s - 1 + 1)
-    pad_w = (1, W - (Wo - 1) * s - 1 + 1)
-    dx = lax.conv_general_dilated(
-        contrib,
-        kernel,
-        window_strides=(1, 1),
-        padding=(pad_h, pad_w),
-        lhs_dilation=(s, s),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=ct.dtype,
-    )
-    return (dx,)
+    if _pool3_safe_tile(y.shape[1], y.shape[2], y.shape[3]) is None:
+        # no VMEM-safe tiling -> native select-and-scatter
+        _, pull = jax.vjp(lambda v: _pool3_fwd(v, stride), x)
+        return pull(ct)
+    argtap = _pool3_argtap(x, y, stride)
+    return (_pool3_route_pallas(argtap, ct, stride),)
 
 
-max_pool_3x3.defvjp(_pool3_vjp_fwd, _pool3_vjp_bwd)
+_pool3_custom.defvjp(_pool3_vjp_fwd, _pool3_vjp_bwd)
+
+
+def max_pool_3x3(x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """3x3 max-pool, stride s, pad 1 (the reference's MaxPool2d(3, s, 1),
+    ref basicConv.py:17).
+
+    Backward-formulation measurements at the encoder's stage-1 shapes
+    (tools/bench_rgb_stage.py, B=8, 384x1280, bf16 pools):
+      native select-and-scatter   41.4 ms backward   <- default
+      9-way interior-pad routing 427   ms (pads do not fuse)
+      transposed-conv routing     68.5 ms
+      Pallas parity-plane kernel  74.3 ms (NCHW transposes + i32 argtap
+                                  glue cost more than the op it replaces)
+      no pools at all             12.7 ms (lower bound)
+    XLA's select-and-scatter is ~3x traffic-roofline — hard to beat from
+    outside a fused kernel. The custom VJP (argtap + Pallas routing) is
+    kept behind I2PNET_POOL_PALLAS=1 (read at trace time) for future
+    hardware/toolchain revisions; the measured-fastest native op is the
+    default. The real win retained here is pooling in the compute dtype
+    (bf16 halves pool traffic: 56 -> 41.4 ms).
+    """
+    if os.environ.get("I2PNET_POOL_PALLAS") == "1":
+        B, H, W, C = x.shape
+        Ho = (H - 1) // stride + 1
+        Wo = (W - 1) // stride + 1
+        clean = stride in (1, 2) and H == stride * Ho and W == stride * Wo
+        if clean:
+            return _pool3_custom(x, stride)
+    return _pool3_fwd(x, stride)
 
 
 def batch_norm(train: bool, name: Optional[str] = None) -> nn.BatchNorm:

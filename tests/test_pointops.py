@@ -208,3 +208,36 @@ def test_mask_grouping():
         feats, 3, src, q, jnp.asarray(mask), use_xyz=True
     )
     assert newp2.shape == (1, 4, 3, 8)
+
+
+def test_min_k_indices_matches_top_k():
+    # the iterative TPU path must reproduce lax.top_k's exact contract:
+    # ascending scores, ties broken by lowest index
+    import jax
+
+    rng = np.random.default_rng(9)
+    scores = rng.normal(size=(3, 17, 40)).astype(np.float32)
+    # inject ties
+    scores[0, 0, 5] = scores[0, 0, 11] = scores[0, 0].min() - 1.0
+    for k in (1, 3, 8):
+        want = np.asarray(jax.lax.top_k(-jnp.asarray(scores), k)[1])
+        got = np.asarray(
+            P.min_k_indices(jnp.asarray(scores), k, exact_sort=False)
+        )
+        np.testing.assert_array_equal(got, want)
+    # k > 32 falls back to top_k
+    got = np.asarray(P.min_k_indices(jnp.asarray(scores), 33, exact_sort=False))
+    want = np.asarray(jax.lax.top_k(-jnp.asarray(scores), 33)[1])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_three_nn_returns_sorted_distances():
+    rng = np.random.default_rng(10)
+    unknown = rng.normal(size=(2, 12, 3)).astype(np.float32)
+    known = rng.normal(size=(2, 30, 3)).astype(np.float32)
+    d, idx = P.three_nn(jnp.asarray(unknown), jnp.asarray(known))
+    d = np.asarray(d)
+    sq = _np_square_distance(unknown, known)
+    want = np.sort(sq, axis=-1)[:, :, :3]
+    np.testing.assert_allclose(d**2, want, atol=1e-3)
+    assert (np.diff(d, axis=-1) >= -1e-6).all()

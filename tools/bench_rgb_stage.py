@@ -90,8 +90,8 @@ def main():
     variants = [
         ("full (conv+bn+leaky+pool, pool f32)", dict()),
         ("pool in bf16", dict(pool_f32=False)),
-        ("pool bf16 + conv-routed backward", dict(pool_f32=False,
-                                                  pool_convbwd=True)),
+        ("pool bf16 + pallas-routed backward", dict(pool_f32=False,
+                                                    pool_convbwd=True)),
         ("no pool (stride via conv)", dict(use_pool=False)),
         ("no bn", dict(use_bn=False)),
         ("conv only", dict(use_bn=False, use_leaky=False, use_pool=False)),
