@@ -69,13 +69,11 @@ def min_k_indices(scores: jnp.ndarray, k: int, exact_sort: bool | None = None):
     ties broken by lowest index — the exact contract of
     lax.top_k(-scores, k)[1].
 
-    TPU path: k argmin-extraction passes instead of a full variadic sort.
-    XLA lowers top_k on TPU to a full (value, iota) bitonic sort — ~50x
-    the array's size in HBM traffic at N=1024-2048 — while k fused
-    (reduce + mask) passes cost ~2x size each; for the model's k <= 32
-    that is a 2-20x traffic saving, and it is EXACT (no approx_min_k
-    recall loss). Off TPU lax.top_k (an O(N log k) partial sort on CPU)
-    stays the default.
+    MEASURED SLOWER than lax.top_k on v5e and NOT routed anywhere: the
+    TPU sort keeps each row in VMEM (one HBM pass), while k argmin passes
+    re-read the scores k times — proj forward regressed 51 -> 74 ms when
+    the window select used this. Kept (with tests) as the documented
+    negative result; lax.top_k is the right tool at the model's shapes.
     """
     if exact_sort is None:
         exact_sort = jax.default_backend() != "tpu"
@@ -122,7 +120,8 @@ def knn_point(
             exact = jax.default_backend() != "tpu"
     if exact:
         sqrdists = square_distance(new_xyz, xyz)
-        return min_k_indices(sqrdists, nsample)
+        _, idx = jax.lax.top_k(-sqrdists, nsample)
+        return idx.astype(jnp.int32)
     # HIGH (bf16_3x) is f32-grade for this dot; bf16 scores drop measured
     # recall to 0.94 — not worth it
     dots = jnp.einsum(
@@ -133,10 +132,6 @@ def knn_point(
         precision=jax.lax.Precision.HIGH,
     )
     scores = jnp.sum(xyz * xyz, axis=-1)[:, None, :] - 2.0 * dots
-    if xyz.shape[1] < 4096 or nsample > 32:
-        # approx_min_k falls back to a full bitonic sort at these sizes;
-        # the iterative extraction is EXACT and cheaper (see min_k_indices)
-        return min_k_indices(scores, nsample)
     _, idx = jax.lax.approx_min_k(
         scores, nsample, recall_target=KNN_RECALL_TARGET
     )
@@ -153,7 +148,8 @@ def masked_knn_point(
     sqrdists = square_distance(new_xyz, xyz)
     mask = mask[:, None, :].astype(sqrdists.dtype)
     sqrdists = sqrdists * mask + 1e10 * (1.0 - mask)
-    return min_k_indices(sqrdists, nsample)
+    _, idx = jax.lax.top_k(-sqrdists, nsample)
+    return idx.astype(jnp.int32)
 
 
 def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -257,9 +253,8 @@ def three_nn(
     squared distances (ref pointnet2/pointnet2_utils.py:107-129 ThreeNN).
     """
     sqrdists = square_distance(unknown, known)
-    idx = min_k_indices(sqrdists, 3)
-    picked = jnp.take_along_axis(sqrdists, idx, axis=-1)
-    return jnp.sqrt(jnp.maximum(picked, 0.0)), idx
+    neg, idx = jax.lax.top_k(-sqrdists, 3)
+    return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
 
 
 def three_interpolate(

@@ -366,12 +366,8 @@ def window_neighbor_select_grid(
         pad = ((0, 0), (0, 0), (0, K - khw))
         d_masked = jnp.pad(d_masked, pad, constant_values=_INVALID_DIST)
 
-    from i2pnet_tpu.ops.pointops import min_k_indices
-
-    # same ascending-distance, ties-by-index order as top_k(-d), without
-    # the full bitonic sort TPU lowers top_k to
-    args = min_k_indices(d_masked, K)
-    d_sel = jnp.take_along_axis(d_masked, args, axis=-1)
+    neg_d, args = jax.lax.top_k(-d_masked, K)
+    d_sel = -neg_d
     hit = d_sel < _INVALID_DIST
     args = jnp.minimum(args, khw - 1)  # clamp K>khw pad slots
 

@@ -57,6 +57,7 @@ class Trainer:
         run_flags: Optional[dict] = None,
         train_target: str = "all",
         extra_valid_datasets: Optional[Dict[str, Any]] = None,
+        num_workers: int = 0,
     ):
         """train_target: 'all' | 'regist' | 'class' — loss composition, as the
         reference's --train_target flag (ref train20v2learn_wandb.py:756-793).
@@ -94,8 +95,16 @@ class Trainer:
         self.writer.config(resolved)
         self._snapshot_sources(resume)
 
+        # multi-host: this process loads only its slice of each global
+        # batch; single-process this is the whole batch (parallel/distributed)
+        from i2pnet_tpu.parallel import host_batch_slice, process_info
+
+        self._host_slice = (
+            host_batch_slice(batch_size) if process_info()[1] > 1 else None
+        )
         self.train_loader = BatchLoader(
-            train_dataset, batch_size, shuffle=True, seed=seed, device_only=True
+            train_dataset, batch_size, shuffle=True, seed=seed, device_only=True,
+            num_workers=num_workers, host_slice=self._host_slice,
         )
         self.valid_loader = (
             BatchLoader(
@@ -239,10 +248,13 @@ class Trainer:
             losses = []
             for bi, batch in enumerate(self.train_loader):
                 mb = to_model_batch(batch)
-                mb = {
-                    k: jax.device_put(np.asarray(v), self._data_sharding)
-                    for k, v in mb.items()
-                }
+                # single-process: a sharded device_put; multi-host: the
+                # global array is assembled from per-process shards
+                from i2pnet_tpu.parallel import make_global_batch
+
+                mb = make_global_batch(
+                    self.mesh, {k: np.asarray(v) for k, v in mb.items()}
+                )
                 rng, step_rng = jax.random.split(rng)
                 self.state, m = self._train_step(self.state, mb, step_rng)
                 self.n_iter += 1

@@ -42,6 +42,9 @@ def parse_args(argv=None):
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="conv/dense compute dtype (params stay f32)")
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="batch-assembly worker processes (0 = one thread; "
+                        "the reference DataLoader default is 8)")
     p.add_argument("--train_target", default="all",
                    choices=["all", "regist", "class"],
                    help="loss composition: registration+mask, registration "
@@ -124,6 +127,11 @@ def main(argv=None):
     from i2pnet_tpu.utils.platform import honor_jax_platforms_env
 
     honor_jax_platforms_env()
+    # multi-host: wires the coordination service when the env configures it
+    # (JAX_COORDINATOR_ADDRESS / cloud-TPU); no-op on this single-host box
+    from i2pnet_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     if args.debug_nans:
         import jax
 
@@ -151,6 +159,7 @@ def main(argv=None):
         accum_steps=args.accum_steps,
         run_flags=vars(args),
         train_target=args.train_target,
+        num_workers=args.num_workers,
     )
     trainer.train()
 
