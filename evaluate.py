@@ -40,11 +40,19 @@ def parse_args(argv=None):
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--analyze", action="store_true")
+    p.add_argument("--knn_mode", default="exact", choices=["exact", "approx"],
+                   help="level-1 KNN at eval: exact (default — reported "
+                        "metrics carry no approximation; measured ~86 vs "
+                        "271 pairs/s forward) or the training-path approx")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    import os
+
+    # trace-time override read by ops.pointops.knn_point
+    os.environ["I2PNET_KNN_MODE"] = args.knn_mode
     from i2pnet_tpu.utils.platform import honor_jax_platforms_env
 
     honor_jax_platforms_env()

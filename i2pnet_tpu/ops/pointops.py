@@ -59,8 +59,15 @@ def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     return s2 + d2 - 2.0 * cross
 
 
-# approx_min_k recall for the fast TPU KNN path; 0.95 measures ~99.3% true-
-# neighbor recall at K=32/N=8192 and is ~13x faster than exact lax.top_k.
+# approx_min_k recall for the fast TPU KNN path. Measured trade-off
+# (tools/knn_accuracy_eval.py + tools/profile_backward.py):
+#   0.95: fwd 31.5 ms, ΔRRE +1.32% vs exact on the synthetic protocol
+#   0.97: same lowering as 0.95 (identical executable — no change)
+#   0.99: ΔRRE -0.14% (noise-level) but fwd 64.5 ms — 2x cost
+# Resolution: training keeps the fast approximation (gradient noise
+# tolerates 0.993 recall); EVALUATION defaults to exact KNN via
+# I2PNET_KNN_MODE=exact (evaluate.py --knn_mode), so reported metrics
+# carry no approximation.
 KNN_RECALL_TARGET = 0.95
 
 
