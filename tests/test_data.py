@@ -380,3 +380,72 @@ def test_accumulate_point_cloud(tmp_path):
     a = np.load(out_snr / "000000.npy")
     b = np.load(out_pc / "000000.npy")
     assert a.shape[0] == 7 and b.shape[0] == 3 and a.shape[1] == b.shape[1]
+
+
+def test_raw_calib_real_format_files(tmp_path):
+    """Format-drift guard: parse REAL raw-KITTI calib files (actual key
+    names + line layout of the devkit's calib_cam_to_cam.txt /
+    calib_velo_to_cam.txt) and check the composed velo->rect-cam2
+    extrinsic reproduces the reference's precomputed 2011_09_26 constants
+    (ref src/calib.py:19-41: CAM02_PARAMS = (R_rect_00, P-folded t),
+    VELO_PARAMS = the composed product)."""
+    from i2pnet_tpu.data.calib import RawCalib
+    from i2pnet_tpu.data.kitti_raw_calib import CALIB_BY_DATE
+
+    # original velo->cam0 calibration (the values the reference commented
+    # out before composing, src/calib.py:32-35)
+    R_velo = np.array(
+        [[7.533745e-03, -9.999714e-01, -6.166020e-04],
+         [1.480249e-02, 7.280733e-04, -9.998902e-01],
+         [9.998621e-01, 7.523790e-03, 1.480755e-02]]
+    )
+    t_velo = np.array([-4.069766e-03, -7.631618e-02, -2.717806e-01])
+    # the true devkit R_rect_00 for 2011_09_26 (the reference composed its
+    # hardcoded VELO_PARAMS with this, not with the cam0->cam2 rotation)
+    R_rect = np.array(
+        [[9.999239e-01, 9.837760e-03, -7.445048e-03],
+         [-9.869795e-03, 9.999421e-01, -4.278459e-03],
+         [7.402527e-03, 4.351614e-03, 9.999631e-01]]
+    )
+    cam = CALIB_BY_DATE["2011_09_26"]
+    fx, fy, cx, cy = cam["fx"], cam["fy"], cam["cx"], cam["cy"]
+    # P_rect_02-folded cam0->cam2 translation (composed_t - R_rect @ t_velo)
+    t_cam02 = np.array([6.21690000e-02, 2.99890000e-04, 2.74591000e-03])
+    p03 = t_cam02[0] * fx + cx * t_cam02[2]
+    p13 = t_cam02[1] * fy + cy * t_cam02[2]
+    p23 = t_cam02[2]
+
+    date_dir = tmp_path / "2011_09_26"
+    date_dir.mkdir()
+
+    def fmt(a):
+        return " ".join(f"{v:.6e}" for v in np.asarray(a).ravel())
+
+    (date_dir / "calib_cam_to_cam.txt").write_text(
+        "calib_time: 09-Jan-2012 13:57:47\n"
+        "corner_dist: 9.950000e-02\n"
+        "S_00: 1.392000e+03 5.120000e+02\n"
+        f"K_00: {fmt(np.eye(3))}\n"
+        "D_00: -3.691481e-01 1.968681e-01 1.353473e-03 5.677587e-04 -6.770705e-02\n"
+        f"R_rect_00: {fmt(R_rect)}\n"
+        f"P_rect_00: {fmt(np.hstack([np.diag([fx, fy, 1.0]), np.zeros((3, 1))]))}\n"
+        f"P_rect_02: {fx:.6e} 0.000000e+00 {cx:.6e} {p03:.6e} "
+        f"0.000000e+00 {fy:.6e} {cy:.6e} {p13:.6e} "
+        f"0.000000e+00 0.000000e+00 1.000000e+00 {p23:.6e}\n"
+    )
+    (date_dir / "calib_velo_to_cam.txt").write_text(
+        "calib_time: 15-Mar-2012 11:37:16\n"
+        f"R: {fmt(R_velo)}\n"
+        f"T: {fmt(t_velo)}\n"
+        "delta_f: 0.000000e+00 0.000000e+00\n"
+        "delta_c: 0.000000e+00 0.000000e+00\n"
+    )
+
+    rc = RawCalib(str(date_dir))
+    np.testing.assert_allclose(rc.intrinsic[0, 0], fx)
+    np.testing.assert_allclose(
+        rc.extrinsic[:, :3], np.asarray(cam["rot"]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        rc.extrinsic[:, 3], np.asarray(cam["trans"]).ravel(), atol=2e-5
+    )

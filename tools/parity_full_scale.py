@@ -85,12 +85,17 @@ def vectorized_fused_conv_oracle(
     w_out = np.where(hit, np.take_along_axis(ksw_idx, order, -1), 0)
     m_out = hit.astype(np.float32)
     if copy:
+        # FLAG_COPY (fused_conv_go.cu's s==0 pre-fill): non-hit slots take
+        # the nearest hit's index (or 0 with no hit at all) and the mask is
+        # ALL ones for every valid-center query
         any_hit = hit[..., :1]
         h_out = np.where(hit, h_out, np.where(any_hit, h_out[..., :1], 0))
         w_out = np.where(hit, w_out, np.where(any_hit, w_out[..., :1], 0))
-        m_out = np.where(
-            np.broadcast_to(any_hit, m_out.shape), 1.0, m_out
-        ).astype(np.float32)
+        m_out = np.ones_like(m_out)
+    cv = center_valid[..., None]
+    h_out = np.where(cv, h_out, 0)
+    w_out = np.where(cv, w_out, 0)
+    m_out = np.where(cv, m_out, 0.0).astype(np.float32)
     return h_out.astype(np.int64), w_out.astype(np.int64), m_out
 
 
@@ -260,8 +265,9 @@ def run_proj():
             torch.from_numpy(rgb).permute(0, 3, 1, 2),
             torch.from_numpy(lidar),
             torch.from_numpy(raw),
+            None,  # H_initial
             torch.from_numpy(intrinsic),
-            None,
+            None,  # resize_img
             cfg=RefCfg,
         )
     print(f"reference proj forward: {time.perf_counter() - t0:.1f} s", flush=True)
