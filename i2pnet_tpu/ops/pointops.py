@@ -97,6 +97,40 @@ def min_k_indices(scores: jnp.ndarray, k: int, exact_sort: bool | None = None):
     return jnp.stack(out, axis=-1)
 
 
+def blocked_top_k_min(scores: jnp.ndarray, k: int, block: int = 1024):
+    """EXACT k-smallest indices along the last axis via two-level top_k.
+
+    Splits N into index-ordered blocks, takes the per-block k best (each
+    block's sort is VMEM-resident), then reduces the L*k candidates.
+    Exact: the global k best are contained in the union of per-block k
+    best. Tie order matches lax.top_k (lowest index first): candidates
+    are laid out block-major (= ascending global index) and both levels
+    break ties by position.
+
+    MEASURED SLOWER than the single top_k on v5e (exact-KNN forward
+    93 -> ~135 ms for the level-1 op): TPU sorts are VPU-compute-bound in
+    VMEM, so splitting the row does not reduce the dominant cost and the
+    two-level variadic handling adds overhead. Unrouted; kept with tests
+    as the documented negative. approx_min_k remains the right level-1
+    answer on TPU.
+    """
+    N = scores.shape[-1]
+    if N % block != 0 or N <= block or k > block:
+        _, idx = jax.lax.top_k(-scores, k)
+        return idx.astype(jnp.int32)
+    L = N // block
+    lead = scores.shape[:-1]
+    sb = scores.reshape(lead + (L, block))
+    neg_v, bidx = jax.lax.top_k(-sb, k)  # (..., L, k) per-block ascending
+    gidx = bidx + (
+        jnp.arange(L, dtype=jnp.int32)[:, None] * block
+    )  # global indices, block-major
+    cand_scores = (-neg_v).reshape(lead + (L * k,))
+    cand_idx = gidx.reshape(lead + (L * k,))
+    _, pos = jax.lax.top_k(-cand_scores, k)
+    return jnp.take_along_axis(cand_idx, pos, axis=-1).astype(jnp.int32)
+
+
 def knn_point(
     nsample: int,
     xyz: jnp.ndarray,

@@ -241,3 +241,23 @@ def test_three_nn_returns_sorted_distances():
     want = np.sort(sq, axis=-1)[:, :, :3]
     np.testing.assert_allclose(d**2, want, atol=1e-3)
     assert (np.diff(d, axis=-1) >= -1e-6).all()
+
+
+def test_blocked_top_k_min_matches_top_k():
+    import jax
+
+    rng = np.random.default_rng(11)
+    # multi-block case with injected cross-block and within-block ties
+    scores = rng.normal(size=(2, 5, 4096)).astype(np.float32)
+    scores[0, 0, 7] = scores[0, 0, 1030] = scores[0, 0, 2060] = -50.0
+    scores[1, 2, 100:140] = -99.0  # 40 equal minima in one block
+    for k in (1, 8, 32):
+        want = np.asarray(jax.lax.top_k(-jnp.asarray(scores), k)[1])
+        got = np.asarray(P.blocked_top_k_min(jnp.asarray(scores), k))
+        np.testing.assert_array_equal(got, want)
+    # non-divisible / small-N fallback agrees too
+    s2 = rng.normal(size=(2, 3, 500)).astype(np.float32)
+    want = np.asarray(jax.lax.top_k(-jnp.asarray(s2), 4)[1])
+    np.testing.assert_array_equal(
+        np.asarray(P.blocked_top_k_min(jnp.asarray(s2), 4)), want
+    )
