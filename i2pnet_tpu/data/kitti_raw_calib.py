@@ -219,14 +219,36 @@ class KittiRGGDataset(KittiRawCalibDataset):
         with open(pkl_path, "rb") as f:
             data = pickle.load(f)
         n = len(data["img"])
-        if mode == "train" and "train_split" in data:
-            idx = np.asarray(data["train_split"], np.int64)
-        elif mode == "val" and "train_split" in data:
-            idx = np.setdiff1d(np.arange(n), np.asarray(data["train_split"]))
+        if mode in ("train", "val"):
+            if "train_split" not in data:
+                raise ValueError(
+                    f"{pkl_path} has no train_split — it is a test-only "
+                    f"RGG split; mode={mode!r} would silently train on "
+                    "the evaluation set"
+                )
+            if mode == "train":
+                idx = np.asarray(data["train_split"], np.int64)
+            else:
+                idx = np.setdiff1d(
+                    np.arange(n), np.asarray(data["train_split"])
+                )
         else:
             idx = np.arange(n)
-        self.img_path = [str(p) for p in np.asarray(data["img"])[idx]]
-        self.lidar_path = [str(p) for p in np.asarray(data["lidar"])[idx]]
+
+        def _reroot(p: str) -> str:
+            # optional relocation of the pkl's recorded paths: base_path
+            # replaces everything before the date directory (raw-KITTI
+            # trees are .../<base>/<date>/<date>_drive_xxxx_sync/...)
+            if base_path is None:
+                return str(p)
+            parts = str(p).replace("\\", "/").split("/")
+            for j, seg in enumerate(parts):
+                if seg.count("_") == 2 and seg[:4].isdigit():
+                    return os.path.join(base_path, *parts[j:])
+            return str(p)
+
+        self.img_path = [_reroot(p) for p in np.asarray(data["img"])[idx]]
+        self.lidar_path = [_reroot(p) for p in np.asarray(data["lidar"])[idx]]
         self.rot_table = np.asarray(data["rot"], np.float64)[idx]
         self.trans_table = np.asarray(data["trans"], np.float64)[idx]
 

@@ -42,10 +42,16 @@ class _NuScenesBase:
     def __len__(self):
         return len(self.dataset)
 
+    def _resolve(self, path: str) -> str:
+        # datasplits store h5 paths relative to the preprocessing output
+        # (joined with root) and camera paths absolute into the nuScenes
+        # dataroot (left alone) — see preprocess_nuscenes.collect_entries
+        return path if os.path.isabs(path) else os.path.join(self.root, path)
+
     def _load_pc(self, lidar_path: str):
         import h5py
 
-        with h5py.File(os.path.join(self.root, lidar_path), "r") as hf:
+        with h5py.File(self._resolve(lidar_path), "r") as hf:
             pc = np.asarray(hf["PC"], np.float32)
             intensity = np.asarray(hf["intensity"], np.float32)
         idx = self.rng.permutation(pc.shape[1])
@@ -54,7 +60,7 @@ class _NuScenesBase:
     def _load_image(self, cam_path: str):
         from PIL import Image
 
-        return np.array(Image.open(os.path.join(self.root, cam_path)), np.uint8)
+        return np.array(Image.open(self._resolve(cam_path)), np.uint8)
 
     def _image_pipeline(self, img, K, scale_h, scale_w, img_H, img_W, crop_top=100):
         img = img[crop_top:, :, :]

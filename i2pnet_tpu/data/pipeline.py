@@ -74,10 +74,21 @@ _WORKER_STATE: dict = {}
 
 
 def _assemble_batch(task):
-    """Worker-side batch assembly (runs in forked children)."""
-    bidx, device_only = task
+    """Worker-side batch assembly (runs in forked children).
+
+    Forked children inherit a COPY of the dataset's RNG state and the
+    parent never consumes it in multiprocess mode, so without reseeding
+    every worker (and every epoch) would replay identical augmentation
+    draws. Datasets exposing a `rng` attribute are reseeded per task from
+    (loader seed, epoch, batch index) — deterministic for a given seed
+    regardless of worker count, different across batches and epochs (the
+    reference torch DataLoader reseeds workers per epoch the same way,
+    ref src/deterministic.py:6-13 seed_worker)."""
+    bidx, device_only, task_seed = task
     ds = _WORKER_STATE["dataset"]
     transform = _WORKER_STATE["transform"]
+    if task_seed is not None and hasattr(ds, "rng"):
+        ds.rng = np.random.default_rng(task_seed)
     samples = [ds[int(i)] for i in bidx]
     b = collate(samples, device_only=device_only)
     if transform is not None:
@@ -119,6 +130,8 @@ class BatchLoader:
         self.transform = transform
         self.num_workers = num_workers
         self.host_slice = host_slice
+        self.seed = seed
+        self._epoch = 0
         self.rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -164,6 +177,8 @@ class BatchLoader:
 
     def _iter_multiprocess(self) -> Iterator[Dict[str, np.ndarray]]:
         batches = self._index_batches()
+        epoch = self._epoch
+        self._epoch += 1
         # fork context: children inherit _WORKER_STATE without pickling the
         # dataset per task (spawn would re-import and lose it)
         _WORKER_STATE["dataset"] = self.dataset
@@ -174,11 +189,14 @@ class BatchLoader:
             max_workers=self.num_workers, mp_context=ctx
         ) as pool:
             pending: "collections.deque" = collections.deque()
-            it = iter(batches)
             try:
-                for bidx in it:
+                for bi, bidx in enumerate(batches):
+                    task_seed = (self.seed, epoch, bi)
                     pending.append(
-                        pool.submit(_assemble_batch, (bidx, self.device_only))
+                        pool.submit(
+                            _assemble_batch,
+                            (bidx, self.device_only, task_seed),
+                        )
                     )
                     if len(pending) >= max_inflight:
                         yield pending.popleft().result()

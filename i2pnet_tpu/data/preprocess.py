@@ -285,16 +285,25 @@ def generate_rgg_splits(
             )
             img_dir = os.path.join(drive_dir, "image_02", "data")
             lid_dir = os.path.join(drive_dir, "velodyne_points", "data")
-            if not os.path.isdir(img_dir):
+            if not os.path.isdir(img_dir) or not os.path.isdir(lid_dir):
                 continue
-            imgs.extend(
+            d_imgs = [
                 os.path.join(img_dir, f)
                 for f in sorted(os.listdir(img_dir)) if f.endswith(".png")
-            )
-            lidars.extend(
+            ]
+            d_lidars = [
                 os.path.join(lid_dir, f)
                 for f in sorted(os.listdir(lid_dir)) if f.endswith(".bin")
-            )
+            ]
+            # positional pairing requires equal counts — a dropped frame
+            # would silently shift every later (img, scan) pair otherwise
+            if len(d_imgs) != len(d_lidars):
+                raise ValueError(
+                    f"{drive_dir}: {len(d_imgs)} images vs "
+                    f"{len(d_lidars)} scans — cannot pair positionally"
+                )
+            imgs.extend(d_imgs)
+            lidars.extend(d_lidars)
         M, N = len(imgs), p["num"]
         if M == 0:
             continue

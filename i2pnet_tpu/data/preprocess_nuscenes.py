@@ -323,10 +323,18 @@ def generate_scene(
 
         stored = (os.path.relpath(h5_path, output_folder)
                   if relative_paths else h5_path)
-        extra = [camera_P, camera_CP, _calib_P(nusc, near_lidar),
-                 _ego_pose_P(nusc, near_lidar), near_world, scene_name]
+        # extra layout matches the reference exactly: slots 2-3 carry the
+        # SWEEP lidar's calib/pose (ref gen_maps_our.py:322-323,411),
+        # which differs from near_lidar whenever frame_skip > 1
+        lidar_sd = nusc.get("sample_data", lidar_token)
+        extra = [camera_P, camera_CP, _calib_P(nusc, lidar_sd),
+                 _ego_pose_P(nusc, lidar_sd), near_world, scene_name]
+        # camera images live in the nuScenes dataroot (not the output
+        # tree) -> store them absolute; h5 paths stay relative to
+        # output_folder so the generated tree itself is relocatable
+        cam_stored = os.path.join(nusc.dataroot, cam["filename"])
         entries.append(
-            ((stored, cam["filename"]),
+            ((stored, cam_stored),
              np.asarray(camera_K, np.float64),
              velo2cam2.astype(np.float32), extra)
         )

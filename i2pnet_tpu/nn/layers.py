@@ -344,8 +344,9 @@ class RGBEncoderStage(nn.Module):
                 # and halves the pool's HBM traffic (the next conv casts
                 # to compute dtype anyway)
                 x = x.astype(self.dtype)
-            # max_pool_3x3's transposed-conv backward beats XLA's
-            # select-and-scatter (measurements in tools/bench_rgb_stage.py)
+            # native select-and-scatter backward by default; the Pallas
+            # routing sits behind I2PNET_POOL_PALLAS (see max_pool_3x3's
+            # docstring for the measurements)
             x = max_pool_3x3(x, s)
         return x
 

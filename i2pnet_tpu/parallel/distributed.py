@@ -66,7 +66,8 @@ def host_batch_slice(global_batch_size: int) -> slice:
     pidx, pcount = process_info()
     if global_batch_size % pcount != 0:
         raise ValueError(
-            f"global batch {global_batch_size} must divide process count {pcount}"
+            f"process count {pcount} must divide global batch "
+            f"{global_batch_size}"
         )
     per = global_batch_size // pcount
     return slice(pidx * per, (pidx + 1) * per)

@@ -73,9 +73,8 @@ def _free_point_loss_fn(model, cfg: I2PNetConfig, img_size=None,
             l1_trans=cfg.l1_trans_loss,
         )
         hw = img_size or batch["rgb"].shape[1:3]
-        mask_loss = None
-        for pm in (out["pm3"], out["pm4"]):
-            pl = projection_mask_loss(
+        pls = [
+            projection_mask_loss(
                 pm,
                 batch["intrinsic"],
                 hw,
@@ -85,8 +84,15 @@ def _free_point_loss_fn(model, cfg: I2PNetConfig, img_size=None,
                 focal_gamma=cfg.focal_gamma,
                 sigmoid=cfg.mask_sigmoid,
             )
-            if pl is not None:
-                mask_loss = pl if mask_loss is None else mask_loss + pl
+            for pm in (out["pm3"], out["pm4"])
+        ]
+        pl3, pl4 = pls
+        if pl3 is not None and pl4 is not None:
+            # level weights 1.6 (coarse/l4) + 0.8 (refined/l3), matching
+            # Get_loss's orientation (ref train20v2learn_wandb.py:766-770)
+            mask_loss = 1.6 * pl4 + 0.8 * pl3
+        else:
+            mask_loss = pl4 if pl3 is None else pl3
         if train_target == "class":
             if mask_loss is None:
                 raise ValueError("train_target='class' needs mask heads enabled")
@@ -264,7 +270,14 @@ def make_eval_step_proj(model, cfg):
 
 
 def make_eval_step(model, cfg: I2PNetConfig):
-    """Returns eval_step(state, batch) -> out dict (pose predictions)."""
+    """Returns eval_step(state, batch) -> out dict (pose predictions).
+
+    Validation forwards gt_project and the live DelayWeight counter like
+    the reference's validate() (ref train20v2learn_wandb.py:373-396 passes
+    gt_project and the model's decremented buffer), so gt-mask /
+    mask_delay configs are evaluated with the same mask mixture they
+    train with.
+    """
 
     def eval_step(state, batch):
         return model.apply(
@@ -274,6 +287,8 @@ def make_eval_step(model, cfg: I2PNetConfig):
             batch["intrinsic"],
             lidar_feature=batch.get("lidar_feats"),
             raw_xyz=batch.get("raw_xyz"),
+            gt_project=batch.get("gt_project"),
+            now_step=_delay_now_step(cfg, state.step),
             train=False,
         )
 

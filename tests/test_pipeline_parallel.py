@@ -102,3 +102,37 @@ def test_make_global_batch_shards_on_mesh():
     assert out["meta"] == batch["meta"]
     np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
     assert len(out["x"].sharding.device_set) == 4
+
+
+class _AugmentingDataset:
+    """Dataset that consumes its rng per item (like the real loaders)."""
+
+    def __init__(self, n=16, seed=0):
+        self.n = n
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"x": self.rng.normal(size=(3,)).astype(np.float32),
+                "index": np.int32(i)}
+
+
+def test_multiworker_augmentation_draws_differ_across_batches_and_epochs():
+    # forked workers inherit identical rng state; the per-task reseed must
+    # make draws differ across batches AND across epochs
+    ds = _AugmentingDataset()
+    loader = BatchLoader(ds, 4, shuffle=False, seed=5, num_workers=2)
+    epoch1 = [b["x"].copy() for b in loader]
+    epoch2 = [b["x"].copy() for b in loader]
+    # different batches within an epoch draw differently
+    assert not np.allclose(epoch1[0], epoch1[1])
+    # same batch index in different epochs draws differently
+    assert not np.allclose(epoch1[0], epoch2[0])
+    # deterministic per (seed, epoch, batch): a fresh loader replays epoch 1
+    loader2 = BatchLoader(_AugmentingDataset(), 4, shuffle=False, seed=5,
+                          num_workers=2)
+    epoch1b = [b["x"].copy() for b in loader2]
+    for a, b in zip(epoch1, epoch1b):
+        np.testing.assert_array_equal(a, b)

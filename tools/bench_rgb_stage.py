@@ -45,6 +45,7 @@ def main():
         use_leaky: bool = True
         pool_f32: bool = True
         pool_convbwd: bool = False
+        bn_bf16: bool = False
 
         @nn.compact
         def __call__(self, x, train=True):
@@ -53,7 +54,15 @@ def main():
                 x = nn.Conv(ch, (3, 3), strides=stride,
                             padding=((1, 1), (1, 1)), dtype=jnp.bfloat16)(x)
                 if self.use_bn:
-                    x = batch_norm(train)(x.astype(jnp.float32))
+                    if self.bn_bf16:
+                        # stats still accumulate f32 inside flax; only the
+                        # normalize/scale elementwise math runs bf16
+                        x = nn.BatchNorm(
+                            use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=jnp.bfloat16,
+                        )(x)
+                    else:
+                        x = batch_norm(train)(x.astype(jnp.float32))
                 if self.use_leaky:
                     x = nn.leaky_relu(
                         x.astype(jnp.float32) if self.pool_f32 else x, 0.1
@@ -90,6 +99,7 @@ def main():
     variants = [
         ("full (conv+bn+leaky+pool, pool f32)", dict()),
         ("pool in bf16", dict(pool_f32=False)),
+        ("pool bf16 + bn bf16", dict(pool_f32=False, bn_bf16=True)),
         ("pool bf16 + pallas-routed backward", dict(pool_f32=False,
                                                     pool_convbwd=True)),
         ("no pool (stride via conv)", dict(use_pool=False)),
