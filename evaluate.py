@@ -87,11 +87,11 @@ def main(argv=None):
         if args.tiny:
             ds_args.update(sample_point=cfg.lidar_in_points)
         # fixed decalibration table (ref cmr_test.bash 10-seed protocol):
-        # a CSV overrides the dataset's deterministic generated default
+        # a CSV or per-seed pkl overrides the generated default
         if args.test_rt:
-            import pandas as pd
+            from i2pnet_tpu.data.preprocess import load_test_rt
 
-            ds_args["test_rt"] = pd.read_csv(args.test_rt).to_numpy()[:, :6]
+            ds_args["test_rt"] = load_test_rt(args.test_rt)
         test_ds = KittiOdometryCMRDataset(args.root_path, **ds_args)
     elif args.dataset == "kitti":
         # online calibration protocol (ref evaluation.py): fixed-amplitude
@@ -115,9 +115,9 @@ def main(argv=None):
         if args.dataset == "nus_cmr_snr":
             nus_kw = {}
             if args.test_rt:
-                import pandas as pd
+                from i2pnet_tpu.data.preprocess import load_test_rt
 
-                nus_kw["test_rt"] = pd.read_csv(args.test_rt).to_numpy()[:, :6]
+                nus_kw["test_rt"] = load_test_rt(args.test_rt)
             test_ds = NuScenesCMRDataset(
                 args.root_path, splits, mode="test", seed=args.seed, **nus_kw
             )

@@ -356,3 +356,45 @@ def generate_test_rt(
         axis=1,
     )
     return rt.astype(np.float64)
+
+
+def load_test_rt(path: str) -> np.ndarray:
+    """Load a fixed test-decalibration table from either protocol format:
+    the CSV the reference reads for mode='test' (pandas rows, ref
+    kitti_odometry_cmr.py:259-265) or the per-seed pickle lists of the
+    CMR 10-seed protocol (ref :274-283). Returns (N, 6) float64 rows
+    [rx, ry, rz, tx, ty, tz]."""
+    if path.endswith(".pkl"):
+        import pickle
+
+        with open(path, "rb") as f:
+            rows = pickle.load(f)
+        rt = np.asarray(rows, np.float64)
+    else:
+        import pandas as pd
+
+        rt = pd.read_csv(path, sep=",").to_numpy(np.float64)
+    # some reference tables carry a leading frame-id column
+    if rt.shape[1] == 7:
+        rt = rt[:, 1:]
+    if rt.shape[1] != 6:
+        raise ValueError(f"{path}: expected 6 (or id+6) columns, got {rt.shape[1]}")
+    return rt
+
+
+def cmr_seed_value(cmr_seed: int) -> int:
+    """The reference's cmr_seed -> filename-tag mapping
+    (ref kitti_odometry_cmr.py:274-275: ((seed % 2) * 5) * 10**(seed // 2)),
+    e.g. seeds 0..9 -> 0, 5, 0, 50, 0, 500, ... as written."""
+    return ((cmr_seed % 2) * 5) * 10 ** (cmr_seed // 2)
+
+
+def cmr_test_rt_path(
+    dir_path: str, seq: str, max_r: float, max_t: float, cmr_seed: int
+) -> str:
+    """Per-seed pickle path of the CMR 10-seed protocol
+    (ref kitti_odometry_cmr.py:276-278)."""
+    return os.path.join(
+        dir_path,
+        f"test_RT_seq{seq}_{max_r:.2f}_{max_t:.2f}_{cmr_seed_value(cmr_seed):d}.pkl",
+    )

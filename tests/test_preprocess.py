@@ -80,3 +80,36 @@ def test_generate_test_rt_deterministic():
     assert a[:, 5].max() <= 2.0  # full range by default
     c = PP.generate_test_rt(64, seed=3, clip_tz=True)
     assert c[:, 5].max() <= 1.0  # KITTI-CMR tz quirk on request
+
+
+def test_load_test_rt_csv_and_pkl(tmp_path):
+    import pickle
+
+    from i2pnet_tpu.data.preprocess import (
+        cmr_seed_value,
+        cmr_test_rt_path,
+        generate_test_rt,
+        load_test_rt,
+    )
+
+    rt = generate_test_rt(5, seed=3)
+    csv = tmp_path / "test_RT_seq00_10.00_2.00.csv"
+    header = "rx,ry,rz,tx,ty,tz"
+    np.savetxt(csv, rt, delimiter=",", header=header, comments="")
+    np.testing.assert_allclose(load_test_rt(str(csv)), rt, atol=1e-12)
+
+    # id+6 column variant (some reference tables carry a frame id)
+    csv7 = tmp_path / "with_id.csv"
+    np.savetxt(csv7, np.hstack([np.arange(5)[:, None], rt]), delimiter=",",
+               header="id," + header, comments="")
+    np.testing.assert_allclose(load_test_rt(str(csv7)), rt, atol=1e-12)
+
+    # per-seed pkl (the CMR 10-seed protocol format)
+    p = cmr_test_rt_path(str(tmp_path), "00", 10.0, 2.0, 3)
+    assert p.endswith(f"test_RT_seq00_10.00_2.00_{cmr_seed_value(3):d}.pkl")
+    with open(p, "wb") as f:
+        pickle.dump([list(r) for r in rt], f)
+    np.testing.assert_allclose(load_test_rt(p), rt, atol=1e-12)
+
+    # reference's documented seed->tag mapping
+    assert [cmr_seed_value(s) for s in range(4)] == [0, 5, 0, 50]
