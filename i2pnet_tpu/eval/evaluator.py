@@ -108,7 +108,7 @@ class Evaluator:
                     cur_lidar = self._rewarp(lidar, jnp.concatenate([q_acc, t_acc], 1))
             out3 = jnp.concatenate([q_acc, t_acc], axis=1)
             out3_np = np.asarray(jax.block_until_ready(out3))
-            batch_times.append(time.perf_counter() - t0)
+            batch_times.append((time.perf_counter() - t0, out3_np.shape[0]))
 
             q_gt = np.asarray(batch["decalib_real_gt"])
             t_gt = np.asarray(batch["decalib_dual_gt"])
@@ -119,7 +119,7 @@ class Evaluator:
             ev.add_batch(pred_E, gt_E)
             axis_errs.append(M.calibration_error_batch(pred_E, gt_E))
             gt_se3 = M.extrinsic_to_se3(gt_raw)
-            msee_all.append(M.eval_msee(out3_np, gt_se3))
+            msee_all.append(M.eval_msee(out3_np, gt_se3, pred_E=pred_raw))
 
             for b in range(out3_np.shape[0]):
                 path_info = (
@@ -137,10 +137,26 @@ class Evaluator:
 
         rte_mean, rte_std, rre_mean, rre_std = ev.eval_seq()
         axis = np.concatenate([np.stack(a, -1) for a in axis_errs], 0).mean(0)
-        mean_time = float(np.mean(batch_times[1:])) if len(batch_times) > 1 else float(
-            np.mean(batch_times)
-        )
+        # timing protocol: only FULL batches count, minus the first of them
+        # (it absorbs the jit compiles; cascade stages share one jitted
+        # forward — params are arguments with identical pytree structure —
+        # so stage 2+ hit the stage-1 executable). A ragged final batch
+        # (drop_last=False) has a different shape and triggers its own
+        # compile, so it is excluded rather than skewing mean_time. Host
+        # preprocessing stays outside the timed region (chip throughput,
+        # like the reference's synchronized window,
+        # ref evaluation_proj.py:239-264).
         bsz = loader.batch_size
+        full = [t for t, n in batch_times if n == bsz]
+        timed = full[1:] if len(full) > 1 else full
+        if timed:
+            mean_time = float(np.mean(timed))
+            mean_fps = bsz / mean_time if mean_time > 0 else float("nan")
+        else:  # only ragged batches: report aggregate throughput
+            tot_t = sum(t for t, _ in batch_times)
+            tot_n = sum(n for _, n in batch_times)
+            mean_time = tot_t / max(len(batch_times), 1)
+            mean_fps = tot_n / tot_t if tot_t > 0 else float("nan")
         summary = {
             "rte_mean": rte_mean,
             "rte_std": rte_std,
@@ -154,7 +170,7 @@ class Evaluator:
             "z_m": axis[5],
             "msee": float(np.concatenate(msee_all).mean()),
             "mean_time_s": mean_time,
-            "mean_fps": bsz / mean_time if mean_time > 0 else float("nan"),
+            "mean_fps": mean_fps,
             "count": ev.all_count,
         }
 

@@ -14,6 +14,31 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+def project_points_full(
+    points: np.ndarray,
+    extrinsic: np.ndarray,
+    intrinsic: np.ndarray,
+    img_hw: Tuple[int, int],
+):
+    """points (N,3) -> (uv (N,2), z (N,), in_frustum (N,) bool).
+
+    The single projection used by every panel renderer (one place to fix
+    behind-camera handling etc.). z is guarded sign-preservingly so
+    behind-camera points stay out of frustum rather than flipping uv.
+    """
+    cam = points @ extrinsic[:, :3].T + extrinsic[:, 3]
+    uvw = cam @ intrinsic.T
+    z = uvw[:, 2]
+    safe_z = np.where(np.abs(z) > 1e-10, z, 1e-10)
+    uv = uvw[:, :2] / safe_z[:, None]
+    m = (
+        (z > 0.1)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < img_hw[1])
+        & (uv[:, 1] >= 0) & (uv[:, 1] < img_hw[0])
+    )
+    return uv, z, m
+
+
 def project_points_to_image(
     points: np.ndarray,
     extrinsic: np.ndarray,
@@ -21,15 +46,7 @@ def project_points_to_image(
     img_hw: Tuple[int, int],
 ):
     """points (N,3) -> (uv (M,2), depth (M,)) of in-frustum projections."""
-    cam = points @ extrinsic[:, :3].T + extrinsic[:, 3]
-    uvw = cam @ intrinsic.T
-    z = uvw[:, 2]
-    uv = uvw[:, :2] / (z[:, None] + 1e-10)
-    m = (
-        (z > 0.1)
-        & (uv[:, 0] >= 0) & (uv[:, 0] < img_hw[1])
-        & (uv[:, 1] >= 0) & (uv[:, 1] < img_hw[0])
-    )
+    uv, z, m = project_points_full(points, extrinsic, intrinsic, img_hw)
     return uv[m], z[m]
 
 
@@ -105,18 +122,8 @@ def render_error_heat(
     img = np.ascontiguousarray(rgb).astype(np.uint8).copy()
     H, W = img.shape[:2]
 
-    def proj_all(E):
-        cam = points @ E[:, :3].T + E[:, 3]
-        uvw = cam @ intrinsic.T
-        z = uvw[:, 2]
-        uv = uvw[:, :2] / (np.where(np.abs(z) > 1e-10, z, 1e-10)[:, None])
-        ok = (z > 0.1) & (uv[:, 0] >= 0) & (uv[:, 0] < W) & (uv[:, 1] >= 0) & (
-            uv[:, 1] < H
-        )
-        return uv, ok
-
-    uv_p, ok_p = proj_all(pred_extrinsic)
-    uv_g, ok_g = proj_all(gt_extrinsic)
+    uv_p, _, ok_p = project_points_full(points, pred_extrinsic, intrinsic, (H, W))
+    uv_g, _, ok_g = project_points_full(points, gt_extrinsic, intrinsic, (H, W))
     both = ok_p & ok_g
     only = ok_g & ~ok_p
 
@@ -155,13 +162,7 @@ def render_mask_overlay(
     """
     img = np.ascontiguousarray(rgb).astype(np.uint8).copy()
     H, W = img.shape[:2]
-    cam = points @ gt_extrinsic[:, :3].T + gt_extrinsic[:, 3]
-    uvw = cam @ intrinsic.T
-    z = uvw[:, 2]
-    uv = uvw[:, :2] / (np.where(np.abs(z) > 1e-10, z, 1e-10)[:, None])
-    gt = (z > 0.1) & (uv[:, 0] >= 0) & (uv[:, 0] < W) & (uv[:, 1] >= 0) & (
-        uv[:, 1] < H
-    )
+    uv, _, gt = project_points_full(points, gt_extrinsic, intrinsic, (H, W))
     pred = np.asarray(pred_mask).astype(bool).reshape(-1)
 
     u = np.clip(uv[:, 0], 0, W - 1).astype(np.int64)

@@ -25,8 +25,12 @@ def get_projection_gt(
     pcl (B,N,3), K (B,3,3), img_size (H, W). Returns int32 (B,N) in {0,1}.
     """
     E = Q.pose_to_matrix(decalib_q, decalib_t)  # (B,3,4)
-    cam = jnp.einsum("bij,bnj->bni", E[:, :, :3], pcl) + E[:, None, :, 3]
-    uvw = jnp.einsum("bij,bnj->bni", K.astype(cam.dtype), cam)
+    # HIGHEST: TPU matmuls default to bf16; rounding on meter-scale cam
+    # coords and K products flips in-frustum labels at image borders
+    cam = jnp.einsum("bij,bnj->bni", E[:, :, :3], pcl,
+                     precision=jax.lax.Precision.HIGHEST) + E[:, None, :, 3]
+    uvw = jnp.einsum("bij,bnj->bni", K.astype(cam.dtype), cam,
+                     precision=jax.lax.Precision.HIGHEST)
     z = uvw[..., 2]
     uv = uvw / (z[..., None] + 1e-10)
     u, v = uv[..., 0], uv[..., 1]
@@ -145,8 +149,10 @@ def pointwise_reprojection_loss(
 
     def project(q, t):
         E = Q.pose_to_matrix(q, t)
-        cam = jnp.einsum("bij,bnj->bni", E[:, :, :3], p) + E[:, None, :, 3]
-        uvw = jnp.einsum("bij,bnj->bni", K, cam)
+        cam = jnp.einsum("bij,bnj->bni", E[:, :, :3], p,
+                         precision=jax.lax.Precision.HIGHEST) + E[:, None, :, 3]
+        uvw = jnp.einsum("bij,bnj->bni", K, cam,
+                         precision=jax.lax.Precision.HIGHEST)
         return uvw[..., :2] / (uvw[..., 2:] + 1e-10)
 
     p_gt = project(decalib_q, decalib_t)
@@ -172,7 +178,8 @@ def rt_loss(
     gt_R = Q.quat_to_rotmat(gt_q)
 
     def one(Rp):
-        err = jnp.einsum("bji,bjk->bik", gt_R, Rp) - jnp.eye(3, dtype=Rp.dtype)
+        err = jnp.einsum("bji,bjk->bik", gt_R, Rp,
+                         precision=jax.lax.Precision.HIGHEST) - jnp.eye(3, dtype=Rp.dtype)
         return jnp.mean(jnp.sum(err**2, axis=(1, 2)))
 
     real = 1.6 * one(R4) + 0.8 * one(R3)

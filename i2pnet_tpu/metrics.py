@@ -190,10 +190,17 @@ def extrinsic_to_se3(E: np.ndarray) -> np.ndarray:
     return np.asarray(lie.se3_log(T))
 
 
-def eval_msee(out3: np.ndarray, gt_se3: np.ndarray) -> np.ndarray:
-    """Mean squared SE(3) geodesic error (ref metric.py:182-196 eval_msee)."""
-    pred_R = quat_to_rotmat_batch(out3[:, :4])
-    pred_E = np.concatenate([pred_R, out3[:, 4:].reshape(-1, 3, 1)], -1)
+def eval_msee(
+    out3: np.ndarray, gt_se3: np.ndarray, pred_E: np.ndarray = None
+) -> np.ndarray:
+    """Mean squared SE(3) geodesic error (ref metric.py:182-196 eval_msee).
+
+    pred_E: optional precomputed prediction extrinsic (3,4)-batch — the
+    Evaluator already built it via get_extrinsic(out_raw=True), so passing
+    it avoids recomputing the rotation matrices per batch."""
+    if pred_E is None:
+        pred_R = quat_to_rotmat_batch(out3[:, :4])
+        pred_E = np.concatenate([pred_R, out3[:, 4:].reshape(-1, 3, 1)], -1)
     pred_se3 = extrinsic_to_se3(pred_E)
     return np.asarray(lie.se3_geodesic_sq_dist(pred_se3, np.asarray(gt_se3)))
 

@@ -120,8 +120,11 @@ class I2PNet(nn.Module):
         # the 3x3 on device)
         intrinsic3 = change_intrinsic(intrinsic.astype(jnp.float32), (h3, w3), (H, W))
         intrinsic3_inv = jnp.linalg.inv(intrinsic3)
+        # HIGHEST: bf16 K^-1 products would shift normalized-plane pixel
+        # coords by ~0.4% of the inter-pixel spacing (CLAUDE.md rule)
         RF3_index = jnp.einsum(
-            "bij,bnj->bni", intrinsic3_inv, RF3_index
+            "bij,bnj->bni", intrinsic3_inv, RF3_index,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
         # lidar points onto normalized plane (ref :230-232)
@@ -258,12 +261,16 @@ class I2PNet(nn.Module):
             and gt_project is None
         ):
             # eval-time fallback for gt-mask-trained models: synthesize the
-            # mask from the coarse pose (ref modellearn.py:338-341)
+            # mask from the coarse pose; the reference assigns it to
+            # l3_prediction_mask itself, so pm3/eval_info expose it to
+            # mask-accuracy and visualization consumers
+            # (ref modellearn.py:338-341)
             from i2pnet_tpu.losses import get_projection_gt
 
-            l3_mask_for_head = jax.nn.one_hot(
+            l3_prediction_mask = jax.nn.one_hot(
                 get_projection_gt(P3, intrinsic, (H, W), q4, t4), 2
             )
+            l3_mask_for_head = l3_prediction_mask
 
         # ---- residual pose (ref :344-346)
         q3, t3, W_l3 = PoseHead(

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from i2pnet_tpu.config import I2PNetProjConfig
@@ -66,7 +67,10 @@ class I2PNetProj(nn.Module):
         h3, w3 = RF3.shape[1], RF3.shape[2]
         RF3_index = set_id_grid(h3, w3, B)
         intrinsic3 = change_intrinsic(intrinsic.astype(jnp.float32), (h3, w3), (H, W))
-        RF3_index = jnp.einsum("bij,bnj->bni", jnp.linalg.inv(intrinsic3), RF3_index)
+        RF3_index = jnp.einsum(
+            "bij,bnj->bni", jnp.linalg.inv(intrinsic3), RF3_index,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         RF3_flat = RF3.reshape(B, h3 * w3, RF3.shape[-1])
 
         # ---- spherical projection (ref :247-250 project_seq)

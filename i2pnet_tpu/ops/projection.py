@@ -421,5 +421,6 @@ def pixel_posinfo(B: int, H: int, W: int, intrinsic: jnp.ndarray) -> jnp.ndarray
     grid = jnp.stack([w, h, jnp.ones_like(w)], axis=-1).reshape(1, H * W, 3)
     grid = jnp.broadcast_to(grid, (B, H * W, 3))
     K_inv = jnp.linalg.inv(intrinsic.astype(jnp.float32))
-    out = jnp.einsum("bij,bnj->bni", K_inv, grid)
+    out = jnp.einsum("bij,bnj->bni", K_inv, grid,
+                     precision=jax.lax.Precision.HIGHEST)
     return out.reshape(B, H, W, 3)
