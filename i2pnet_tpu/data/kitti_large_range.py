@@ -46,6 +46,7 @@ class KittiLargeRangeDataset:
         raw: bool = False,
         y_aug: bool = False,
         augment: bool = True,
+        color_augment: bool = False,
     ):
         self.root_path = root_path
         self.mode = mode
@@ -54,6 +55,9 @@ class KittiLargeRangeDataset:
         self.sample_point = sample_point
         self.raw = raw
         self.augment = augment
+        # reference parity: pc+normal jitter is real (ref :622-623), the
+        # color jitter is a no-op (ColorJitter() without ranges, ref :510)
+        self.color_augment = color_augment
         self.rng = np.random.default_rng(seed)
 
         # perturbation amplitudes (ref :292-305)
@@ -73,7 +77,12 @@ class KittiLargeRangeDataset:
                 "sequences",
                 "%02d" % seq,
             )
-            snr_folder = os.path.join(seq_dir, "voxel0.1-SNr0.6")
+            # raw mode reads FULL-RESOLUTION per-point normals (aligned
+            # with the .bin scans, ref :52-54 'snr0.6'); the voxel-
+            # downsampled folder only serves the non-raw path (ref :56-62)
+            snr_folder = os.path.join(
+                seq_dir, "snr0.6" if raw else "voxel0.1-SNr0.6"
+            )
             pc_folder = os.path.join(seq_dir, "velodyne")
             img_folder = os.path.join(seq_dir, "image_2_npy")
             calib_path = os.path.join(seq_dir, "calib.txt")
@@ -110,6 +119,12 @@ class KittiLargeRangeDataset:
                 .astype(np.float32)[-3:]
                 .T
             )
+            if sn_n3.shape[0] != xyz_n3.shape[0]:
+                raise ValueError(
+                    f"seq {seq} frame {seq_i}: {sn_n3.shape[0]} normals vs "
+                    f"{xyz_n3.shape[0]} raw points — snr0.6 normals must be "
+                    "full-resolution (per raw point)"
+                )
         else:
             npy_data = np.load(os.path.join(snr_folder, "%06d.npy" % seq_i)).astype(
                 np.float32
@@ -159,7 +174,7 @@ class KittiLargeRangeDataset:
         rgb_img = rgb_img[dy : dy + self.img_H, dx : dx + self.img_W, :]
         intrinsic = camera_matrix_cropping(intrinsic, dx=dx, dy=dy)
 
-        if self.mode == "train" and self.augment:
+        if self.mode == "train" and self.color_augment:
             rgb_img = T.color_jitter(self.rng, rgb_img)
         rgb = T.normalize_image(rgb_img)
 

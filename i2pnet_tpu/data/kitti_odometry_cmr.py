@@ -46,6 +46,7 @@ class KittiOdometryCMRDataset:
         seed: int = 0,
         use_raw: bool = True,
         augment: bool = True,
+        color_augment: bool = False,
     ):
         self.root_path = root_path
         self.mode = mode
@@ -54,7 +55,12 @@ class KittiOdometryCMRDataset:
         self.rx = self.ry = self.rz = max_r * np.pi / 180.0
         self.tx = self.ty = self.tz = max_t
         self.use_raw = use_raw
+        # augment = the reference's ACTUAL train augmentation (pc jitter,
+        # ref :522); color_augment defaults OFF because the reference's
+        # augment_img is a documented no-op (ColorJitter() without ranges,
+        # ref :374-389) — enabling it is an opt-in extra
         self.augment = augment
+        self.color_augment = color_augment
         self.rng = np.random.default_rng(seed)
 
         if seqs is None:
@@ -82,10 +88,16 @@ class KittiOdometryCMRDataset:
             if self.test_RT is None:
                 from i2pnet_tpu.data.preprocess import generate_test_rt
 
+                n_rt = 1 + max(fi for *_, fi in self.dataset) if self.dataset else 0
                 self.test_RT = generate_test_rt(
-                    len(self.dataset), max_r_deg=max_r, max_t=max_t, seed=seed
+                    n_rt, max_r_deg=max_r, max_t=max_t, seed=seed
                 )
-            assert len(self.test_RT) >= len(self.dataset), "test RT too short"
+            max_fi = max((fi for *_, fi in self.dataset), default=-1)
+            assert len(self.test_RT) > max_fi, (
+                f"test RT table too short: {len(self.test_RT)} rows, need "
+                f"frame id up to {max_fi} (table is keyed by per-sequence "
+                "frame id, ref :473)"
+            )
 
     def __len__(self) -> int:
         return len(self.dataset)
@@ -110,7 +122,10 @@ class KittiOdometryCMRDataset:
                 self.rng, self.tx, self.ty, self.tz, self.rx, self.ry, self.rz
             )
         else:
-            rx, ry, rz, tx, ty, tz = self.test_RT[index]
+            # keyed by the PER-SEQUENCE frame id, not the dataset index
+            # (ref :473 self.test_RT[seq_i]) — they differ when frames are
+            # non-contiguous or multiple sequences are evaluated
+            rx, ry, rz, tx, ty, tz = self.test_RT[seq_i]
             Pr = T.generate_transformation(rx, ry, rz, tx, ty, tz)
         Pr_inv = np.linalg.inv(Pr)
         decalib_q, decalib_t = T.decalib_ground_truth(Pr[:3, :])
@@ -130,6 +145,7 @@ class KittiOdometryCMRDataset:
 
         if self.mode == "train" and self.augment:
             pc_np = T.jitter_point_cloud(self.rng, pc_np)
+        if self.mode == "train" and self.color_augment:
             rgb_img = T.color_jitter(self.rng, rgb_img)
 
         # point sampling (ref :527-541)

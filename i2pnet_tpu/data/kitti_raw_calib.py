@@ -76,16 +76,23 @@ class KittiRawCalibDataset:
             drive_dir = os.path.join(
                 base_path, date, f"{date}_drive_{drive:04d}_sync"
             )
-            self.img_path.extend(
-                sorted(glob.glob(os.path.join(drive_dir, "image_02", "data", "*.png")))
+            d_imgs = sorted(
+                glob.glob(os.path.join(drive_dir, "image_02", "data", "*.png"))
             )
-            self.lidar_path.extend(
-                sorted(
-                    glob.glob(
-                        os.path.join(drive_dir, "velodyne_points", "data", "*.bin")
-                    )
+            d_lidars = sorted(
+                glob.glob(
+                    os.path.join(drive_dir, "velodyne_points", "data", "*.bin")
                 )
             )
+            # pairing is positional — a dropped frame in either modality
+            # would silently misalign every later (image, scan) pair
+            if len(d_imgs) != len(d_lidars):
+                raise ValueError(
+                    f"{drive_dir}: {len(d_imgs)} images vs {len(d_lidars)} "
+                    "scans — cannot pair positionally"
+                )
+            self.img_path.extend(d_imgs)
+            self.lidar_path.extend(d_lidars)
 
         params = CALIB_BY_DATE[date]
         self.cam_intrinsic = np.array(

@@ -116,6 +116,11 @@ class NuScenesCMRDataset(_NuScenesBase):
         self.r_amp = max_r * np.pi / 180.0
         self.t_amp = max_t
         self.test_RT = test_rt
+        if mode != "train" and self.test_RT is not None:
+            assert len(self.test_RT) >= len(self.dataset), (
+                f"test RT table too short: {len(self.test_RT)} rows for "
+                f"{len(self.dataset)} samples"
+            )
         if mode != "train" and self.test_RT is None:
             from i2pnet_tpu.data.preprocess import generate_test_rt
 

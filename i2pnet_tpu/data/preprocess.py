@@ -360,23 +360,35 @@ def generate_test_rt(
 
 def load_test_rt(path: str) -> np.ndarray:
     """Load a fixed test-decalibration table from either protocol format:
-    the CSV the reference reads for mode='test' (pandas rows, ref
-    kitti_odometry_cmr.py:259-265) or the per-seed pickle lists of the
-    CMR 10-seed protocol (ref :274-283). Returns (N, 6) float64 rows
-    [rx, ry, rz, tx, ty, tz]."""
+    the CSV the reference reads for mode='test' (ref
+    kitti_odometry_cmr.py:259-265; its shipped header is
+    'id,tx,ty,tz,rx,ry,rz' — translation FIRST) or the per-seed pickle
+    lists of the CMR 10-seed protocol (ref :274-283; 6-element rows in
+    rx-first order, matching the live unpack at ref :473). ALWAYS returns
+    (N, 6) float64 rows normalized to [rx, ry, rz, tx, ty, tz] — column
+    names, when present, drive the reordering, so a tx-first reference
+    CSV cannot silently swap meters and radians."""
     if path.endswith(".pkl"):
         import pickle
 
         with open(path, "rb") as f:
             rows = pickle.load(f)
         rt = np.asarray(rows, np.float64)
+        if rt.shape[1] == 7:
+            rt = rt[:, [4, 5, 6, 1, 2, 3]]  # id,tx..rz -> rx..tz
     else:
         import pandas as pd
 
-        rt = pd.read_csv(path, sep=",").to_numpy(np.float64)
-    # some reference tables carry a leading frame-id column
-    if rt.shape[1] == 7:
-        rt = rt[:, 1:]
+        df = pd.read_csv(path, sep=",")
+        cols = {str(c).strip().lower(): c for c in df.columns}
+        want = ["rx", "ry", "rz", "tx", "ty", "tz"]
+        if all(w in cols for w in want):
+            rt = df[[cols[w] for w in want]].to_numpy(np.float64)
+        else:
+            rt = df.to_numpy(np.float64)
+            if rt.shape[1] == 7:
+                # headerless id+6: assume the reference CSV layout
+                rt = rt[:, [4, 5, 6, 1, 2, 3]]
     if rt.shape[1] != 6:
         raise ValueError(f"{path}: expected 6 (or id+6) columns, got {rt.shape[1]}")
     return rt

@@ -279,9 +279,10 @@ def ball_query(
     cand = jnp.sort(cand, axis=-1)[:, :, :nsample]
     first = cand[:, :, 0:1]
     cand = jnp.where(cand == N, first, cand)
-    # A query with zero hits yields all-N -> clamp to 0 (reference leaves
-    # uninitialized memory in that case; clamping is strictly safer).
-    return jnp.minimum(cand, N - 1).astype(jnp.int32)
+    # A query with zero hits yields all-N -> index 0 (reference leaves
+    # uninitialized memory in that case; a fixed fallback is strictly
+    # safer, and 0 matches the documented first-point behavior).
+    return jnp.where(cand == N, 0, cand).astype(jnp.int32)
 
 
 def three_nn(

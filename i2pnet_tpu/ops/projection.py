@@ -263,13 +263,6 @@ def window_neighbor_select(
     return h_sel, w_sel, mask[..., None].astype(jnp.float32)
 
 
-def _window_offsets(kernel_size: Tuple[int, int]):
-    kh, kw = kernel_size
-    dh = jax.lax.broadcasted_iota(jnp.int32, (kh, kw), 0).reshape(-1) - kh // 2
-    dw = jax.lax.broadcasted_iota(jnp.int32, (kh, kw), 1).reshape(-1) - kw // 2
-    return dh, dw
-
-
 def window_candidates(
     src: jnp.ndarray,
     out_h: int,

@@ -245,7 +245,7 @@ class Trainer:
         rng = jax.random.key(self.seed + 1)
         for epoch in range(self.start_epoch, self.epochs):
             t0 = time.time()
-            losses = []
+            losses_dev = []  # device scalars; pulled once at epoch end
             for bi, batch in enumerate(self.train_loader):
                 mb = to_model_batch(batch)
                 # single-process: a sharded device_put; multi-host: the
@@ -258,9 +258,9 @@ class Trainer:
                 rng, step_rng = jax.random.split(rng)
                 self.state, m = self._train_step(self.state, mb, step_rng)
                 self.n_iter += 1
+                losses_dev.append(m["loss"])
                 if bi % self.save_rate == 0:
                     loss = float(m["loss"])
-                    losses.append(loss)
                     self.writer.add_scalar("train/loss", loss, self.n_iter)
                     self.writer.add_scalar("train/loss_q", float(m["loss_q"]), self.n_iter)
                     self.writer.add_scalar("train/loss_x", float(m["loss_x"]), self.n_iter)
@@ -269,7 +269,12 @@ class Trainer:
                         f"epoch {epoch} iter {self.n_iter} loss {loss:.6f}",
                     )
             dt = time.time() - t0
-            mean_loss = float(np.mean(losses)) if losses else float("nan")
+            # the per-batch values stayed on device (no pipeline stall);
+            # this is the TRUE epoch mean, not a save_rate subsample
+            mean_loss = (
+                float(np.mean([np.asarray(x) for x in losses_dev]))
+                if losses_dev else float("nan")
+            )
             self.writer.add_scalar("train/epoch_time_s", dt, epoch)
             print(f"[trainer] epoch {epoch}: mean loss {mean_loss:.4f} ({dt:.1f}s)")
 

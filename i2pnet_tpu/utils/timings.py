@@ -30,9 +30,14 @@ class Timings:
             pass
 
     def time(self, name: str, value=None) -> None:
-        """Record the elapsed time since the previous checkpoint."""
+        """Record the elapsed time since the previous checkpoint.
+
+        Fencing pulls a scalar to host: on this box's remote-TPU transport
+        jax.block_until_ready returns before the device finishes (see
+        CLAUDE.md platform traps), while a device_get is a real fence."""
         if value is not None:
-            jax.block_until_ready(value)
+            leaf = jax.tree_util.tree_leaves(value)[0]
+            jax.device_get(leaf.ravel()[0])
         else:
             self._sync()
         now = time.perf_counter()
