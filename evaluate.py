@@ -65,7 +65,6 @@ def main(argv=None):
     import train as train_cli
     from i2pnet_tpu.data.pipeline import BatchLoader
     from i2pnet_tpu.eval import Evaluator, recall_analysis
-    from i2pnet_tpu.train.checkpoint import CheckpointManager
     from i2pnet_tpu.utils.seeding import set_seed
 
     set_seed(args.seed)
@@ -85,7 +84,8 @@ def main(argv=None):
         test_ds = KittiLargeRangeDataset(args.root_path, **ds_args)
     elif args.dataset == "kd_cmr_snr":
         if args.tiny:
-            ds_args.update(sample_point=cfg.lidar_in_points)
+            # proj configs carry no lidar_in_points (the grid is the budget)
+            ds_args.update(sample_point=getattr(cfg, "lidar_in_points", 2048))
         # fixed decalibration table (ref cmr_test.bash 10-seed protocol):
         # a CSV or per-seed pkl overrides the generated default
         if args.test_rt:
@@ -128,39 +128,36 @@ def main(argv=None):
     else:
         raise NotImplementedError(f"eval protocol for {args.dataset}")
 
-    # load per-stage params from best snapshots
+    # abstract tree from ONE fresh init (stage-invariant); the template
+    # fetch consumes dataset RNG draws, so the RNG is re-seeded afterwards
+    # to keep every evaluated sample's decalibration identical to a
+    # fresh-seeded protocol run regardless of cascade depth
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    sample = test_ds[0]
+    rgb = jnp.asarray(sample["rgb"])[None]
+    lidar = jnp.asarray(sample["lidar"])[None]
+    intr = jnp.asarray(sample["init_intrinsic"])[None]
+    raw = jnp.asarray(sample["raw_point_xyz"])[None]
+    if proj:
+        variables = model.init(jax.random.key(0), rgb, lidar, raw, intr, train=False)
+    else:
+        variables = model.init(jax.random.key(0), rgb, lidar, intr, train=False)
+    if hasattr(test_ds, "rng"):
+        test_ds.rng = np.random.default_rng(args.seed)
+
+    # load per-stage params (best snapshot, or the latest full state with
+    # the run's recorded optimizer hyperparams — see checkpoint.py)
+    from i2pnet_tpu.train.checkpoint import restore_inference_variables
+
     params_list = []
     batch_stats_list = []
     for mdir in args.model_dir:
-        ckpt = CheckpointManager(mdir)
-        # abstract tree from a fresh init of the same model
-        sample = test_ds[0]
-        import jax.numpy as jnp
-        import numpy as np
-
-        rgb = jnp.asarray(sample["rgb"])[None]
-        lidar = jnp.asarray(sample["lidar"])[None]
-        intr = jnp.asarray(sample["init_intrinsic"])[None]
-        raw = jnp.asarray(sample["raw_point_xyz"])[None]
-        if proj:
-            variables = model.init(jax.random.key(0), rgb, lidar, raw, intr, train=False)
-        else:
-            variables = model.init(jax.random.key(0), rgb, lidar, intr, train=False)
-        if args.best == "latest":
-            from i2pnet_tpu.train.state import create_train_state
-
-            abstract = create_train_state(model, variables)
-            state, _ = ckpt.restore(abstract)
-            params, bstats = state.params, state.batch_stats
-        else:
-            restored = ckpt.restore_best(
-                args.best,
-                {
-                    "params": variables["params"],
-                    "batch_stats": variables.get("batch_stats", {}),
-                },
-            )
-            params, bstats = restored["params"], restored["batch_stats"]
+        params, bstats = restore_inference_variables(
+            mdir, model, variables, best=args.best
+        )
         params_list.append(params)
         batch_stats_list.append(bstats)
 

@@ -26,15 +26,19 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception:
+    # always invoke make: a no-op when the .so is current, a rebuild when
+    # i2pnet_io.cpp is newer (loading a stale binary silently runs old
+    # kernels); if the toolchain is absent but a prebuilt .so exists,
+    # fall through and use it
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -66,15 +70,20 @@ def _fp(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
-def read_velodyne_bin(path: str, max_points: int = 200000) -> Tuple[np.ndarray, np.ndarray]:
-    """-> (xyz (n,3) f32, intensity (n,) f32)."""
+def read_velodyne_bin(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (xyz (n,3) f32, intensity (n,) f32).
+
+    The buffer is sized from the file (16 bytes per record), so no scan is
+    silently truncated; a trailing partial record is dropped on both the
+    native and fallback paths (identical outputs by toolchain)."""
+    n_rec = os.path.getsize(path) // 16
     lib = _load()
     if lib is None:
-        raw = np.fromfile(path, np.float32).reshape(-1, 4)
+        raw = np.fromfile(path, np.float32, count=n_rec * 4).reshape(-1, 4)
         return np.ascontiguousarray(raw[:, :3]), np.ascontiguousarray(raw[:, 3])
-    xyz = np.empty((max_points, 3), np.float32)
-    inten = np.empty((max_points,), np.float32)
-    n = lib.read_velodyne_bin(path.encode(), _fp(xyz), _fp(inten), max_points)
+    xyz = np.empty((n_rec, 3), np.float32)
+    inten = np.empty((n_rec,), np.float32)
+    n = lib.read_velodyne_bin(path.encode(), _fp(xyz), _fp(inten), n_rec)
     if n < 0:
         raise FileNotFoundError(path)
     return xyz[:n], inten[:n]
@@ -91,7 +100,11 @@ def transform_pad_points(xyz: np.ndarray, E: np.ndarray, total: int) -> np.ndarr
         out[:n] = xyz[:n] @ E[:, :3].T + E[:, 3]
         return out
     out = np.empty((total, 3), np.float32)
-    lib.transform_pad_points(_fp(xyz), len(xyz), _fp(E), _fp(out), total)
+    # clamp like the numpy fallback: the C kernel writes n points into the
+    # (total, 3) buffer with no bound check of its own
+    lib.transform_pad_points(
+        _fp(xyz), min(len(xyz), total), _fp(E), _fp(out), total
+    )
     return out
 
 

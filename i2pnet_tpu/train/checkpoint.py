@@ -74,3 +74,44 @@ class CheckpointManager:
 
     def close(self) -> None:
         self._mngr.close()
+
+
+def restore_inference_variables(
+    log_dir: str, model, variables: dict, best: str = "model_rotation_best"
+):
+    """(params, batch_stats) for inference from a training log dir.
+
+    best='latest' restores the newest FULL train state; the abstract state
+    is rebuilt with the optimizer hyperparams recorded in the run's
+    config.json (a clip > 0 run has an extra optax stage, so a
+    default-hyperparam template has a different opt_state structure and
+    orbax refuses to restore). Named snapshots restore params/batch_stats
+    only. Shared by evaluate.py, tools/export_model.py, tools/render_demo.py.
+    """
+    import json
+
+    mgr = CheckpointManager(log_dir)
+    if best == "latest":
+        from i2pnet_tpu.train.state import create_train_state
+
+        hp = {}
+        cfg_path = os.path.join(log_dir, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                dumped = json.load(f)
+            hp = {
+                k: dumped[k]
+                for k in ("lr", "weight_decay", "clip")
+                if k in dumped
+            }
+        abstract = create_train_state(model, variables, **hp)
+        state, _ = mgr.restore(abstract)
+        return state.params, state.batch_stats
+    restored = mgr.restore_best(
+        best,
+        {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+        },
+    )
+    return restored["params"], restored["batch_stats"]

@@ -139,7 +139,13 @@ def main():
 
     raw = torch.load(args.ckpt, map_location="cpu")
     sd = raw.get("model_state_dict", raw)
-    sd = {k.replace("module.", ""): v.numpy() for k, v in sd.items()}
+    # strip only a LEADING DataParallel prefix — a blanket replace would
+    # mangle interior names like 'composed_module.0' (ref
+    # src/util/pytorch_helper.py strips the prefix the same way)
+    def _strip(k):
+        return k[len("module."):] if k.startswith("module.") else k
+
+    sd = {_strip(k): v.numpy() for k, v in sd.items()}
     variables = convert_proj(sd) if args.proj else convert_free_point(sd)
 
     import orbax.checkpoint as ocp

@@ -42,13 +42,15 @@ def build_inference(model, variables, proj: bool):
     return projective if proj else free_point
 
 
-def example_inputs(cfg, proj: bool, batch: int, img_hw=None):
+def example_inputs(cfg, proj: bool, batch: int, img_hw=None, points=None):
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
     if proj:
         h, w = img_hw or (160, 512)
-        n = 150000
+        # point budget scales with the config: a --tiny export should not
+        # trace the 150k-point production shape
+        n = points or (150000 if img_hw is None else 4096)
         raw = rng.normal(size=(batch, n, 3)).astype(np.float32) * 15
         raw[:, n - 30000:] = 0.0
         lidar = raw.copy()
@@ -141,12 +143,14 @@ def main():
         variables = {"params": restored["params"],
                      "batch_stats": restored["batch_stats"]}
     elif args.ckpt:
-        from i2pnet_tpu.train.checkpoint import CheckpointManager
-        from i2pnet_tpu.train.state import create_train_state
+        # reconstruct the optimizer with the run's recorded hyperparams
+        # (a clip > 0 run has a different opt_state structure)
+        from i2pnet_tpu.train.checkpoint import restore_inference_variables
 
-        state = create_train_state(model, variables, steps_per_epoch=1)
-        state, _ = CheckpointManager(args.ckpt).restore(state)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        params, bstats = restore_inference_variables(
+            args.ckpt, model, variables, best="latest"
+        )
+        variables = {"params": params, "batch_stats": bstats}
 
     blob = export_model(model, variables, cfg, args.proj, args.batch,
                         platforms=args.platforms, img_hw=img_hw)

@@ -68,17 +68,16 @@ def main():
     # dataset + params (mirror evaluate.py's test-split construction)
     ds_args = dict(mode="test", seed=args.seed)
     if args.tiny:
-        ds_args.update(img_H=64, img_W=128, sample_point=cfg.lidar_in_points
-                       if not proj else 2048)
+        # per-dataset point budget, matching evaluate.py's convention
+        sp = (getattr(cfg, "lidar_in_points", 2048)
+              if args.dataset == "kd_cmr_snr" else 2048)
+        ds_args.update(img_H=64, img_W=128, sample_point=sp)
     from i2pnet_tpu.data import KittiLargeRangeDataset, KittiOdometryCMRDataset
 
     if args.dataset == "kd_cmr_snr":
         test_ds = KittiOdometryCMRDataset(args.root_path, **ds_args)
     else:
         test_ds = KittiLargeRangeDataset(args.root_path, **ds_args)
-
-    from i2pnet_tpu.train.checkpoint import CheckpointManager
-    from i2pnet_tpu.train.state import create_train_state
 
     s = test_ds[0]
     rgb = jnp.asarray(s["rgb"])[None]
@@ -96,17 +95,15 @@ def main():
             jax.random.key(0), rgb, lidar, intr,
             lidar_feature=feats, raw_xyz=raw, train=False,
         )
-    ckpt = CheckpointManager(args.model_dir)
-    if args.best == "latest":
-        state, _ = ckpt.restore(create_train_state(model, variables))
-        params, bstats = state.params, state.batch_stats
-    else:
-        restored = ckpt.restore_best(
-            args.best,
-            {"params": variables["params"],
-             "batch_stats": variables.get("batch_stats", {})},
-        )
-        params, bstats = restored["params"], restored["batch_stats"]
+    # the template fetch above consumed dataset RNG draws — reset so frame
+    # draws match a fresh-seeded run
+    if hasattr(test_ds, "rng"):
+        test_ds.rng = np.random.default_rng(args.seed)
+    from i2pnet_tpu.train.checkpoint import restore_inference_variables
+
+    params, bstats = restore_inference_variables(
+        args.model_dir, model, variables, best=args.best
+    )
 
     def fwd(rgb, lidar, raw, intr, feats):
         v = {"params": params, "batch_stats": bstats}

@@ -85,7 +85,10 @@ def build(args):
         tiny_kw = dict(img_H=64, img_W=128)
 
     if args.dataset == "kd_cmr_snr":
-        sp = dict(sample_point=cfg.lidar_in_points) if args.tiny else {}
+        sp = (
+            dict(sample_point=getattr(cfg, "lidar_in_points", 2048))
+            if args.tiny else {}
+        )
         train_ds = KittiOdometryCMRDataset(
             args.root_path, mode="train", seed=args.seed, **tiny_kw, **sp
         )
