@@ -42,6 +42,11 @@ def parse_args(argv=None):
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="conv/dense compute dtype (params stay f32)")
+    p.add_argument("--color_augment", action="store_true",
+                   help="enable image color jitter on the KITTI loaders "
+                        "(the reference's KITTI color augmentation is a "
+                        "no-op, so this is an opt-in extra; nuScenes "
+                        "loaders always jitter like their reference)")
     p.add_argument("--num_workers", type=int, default=0,
                    help="batch-assembly worker processes (0 = one thread; "
                         "the reference DataLoader default is 8)")
@@ -90,13 +95,17 @@ def build(args):
             if args.tiny else {}
         )
         train_ds = KittiOdometryCMRDataset(
-            args.root_path, mode="train", seed=args.seed, **tiny_kw, **sp
+            args.root_path, mode="train", seed=args.seed,
+            color_augment=getattr(args, "color_augment", False),
+            **tiny_kw, **sp
         )
         valid_ds = None
     elif args.dataset == "kd_corr_nolidar":
         sp = dict(sample_point=2048) if args.tiny else {}
         train_ds = KittiLargeRangeDataset(
-            args.root_path, mode="train", seed=args.seed, **tiny_kw, **sp
+            args.root_path, mode="train", seed=args.seed,
+            color_augment=getattr(args, "color_augment", False),
+            **tiny_kw, **sp
         )
         valid_ds = KittiLargeRangeDataset(
             args.root_path, mode="val", seed=args.seed, **tiny_kw, **sp
