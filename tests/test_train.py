@@ -313,3 +313,53 @@ def test_accum_step_on_device_mesh():
     batch = {k: jax.device_put(v, batch_spec(mesh)) for k, v in batch.items()}
     state, m = step(state, batch, jax.random.key(0))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_restore_inference_variables_with_clip_run(tmp_path):
+    """'latest' eval restore must rebuild the optimizer with the RUN's
+    hyperparams: a clip > 0 training run has an extra optax stage, so a
+    default-hyperparam abstract state has a different opt_state structure
+    and orbax refuses the restore (the bug evaluate.py/export/demo hit)."""
+    import json
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from i2pnet_tpu.config import I2PNetConfig
+    from i2pnet_tpu.models import I2PNet
+    from i2pnet_tpu.train import create_train_state
+    from i2pnet_tpu.train.checkpoint import (
+        CheckpointManager,
+        restore_inference_variables,
+    )
+
+    cfg = I2PNetConfig.tiny()
+    model = I2PNet(cfg)
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.normal(size=(1, 64, 128, 3)).astype(np.float32))
+    lidar = jnp.asarray(
+        rng.uniform(-5, 5, size=(1, 512, 3)).astype(np.float32)
+    ).at[..., 2].add(12.0)
+    intr = jnp.tile(
+        jnp.asarray([[[64.0, 0, 64], [0, 64.0, 32], [0, 0, 1]]], jnp.float32),
+        (1, 1, 1),
+    )
+    variables = model.init(jax.random.key(0), rgb, lidar, intr, train=False)
+
+    log_dir = str(tmp_path / "run")
+    state = create_train_state(model, variables, clip=1.0)
+    mgr = CheckpointManager(log_dir)
+    mgr.save(0, state, meta={"epoch": 0})
+    mgr.wait()
+    # the trainer's resolved-config dump records the hyperparams
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, "config.json"), "w") as f:
+        json.dump({"lr": 1e-3, "weight_decay": 1e-4, "clip": 1.0}, f)
+
+    params, bstats = restore_inference_variables(
+        log_dir, model, variables, best="latest"
+    )
+    leaf_saved = jax.tree_util.tree_leaves(state.params)[0]
+    leaf_rest = jax.tree_util.tree_leaves(params)[0]
+    np.testing.assert_array_equal(np.asarray(leaf_saved), np.asarray(leaf_rest))
