@@ -83,6 +83,7 @@ class I2PNetConfig:
     mask_sigmoid: bool = False
     one_head_mask: bool = False
     ground_truth_projection_mask: bool = False
+    ground_truth_projection_mask_eval: bool = False
     ground_truth_mask_layer: Tuple[bool, bool] = (False, True)
     ab_delay: bool = False
     mask_delay: bool = False

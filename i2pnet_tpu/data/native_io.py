@@ -26,20 +26,43 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    # always invoke make: a no-op when the .so is current, a rebuild when
-    # i2pnet_io.cpp is newer (loading a stale binary silently runs old
-    # kernels); if the toolchain is absent but a prebuilt .so exists,
-    # fall through and use it
+    # rebuild only when the source is newer than the .so (loading a stale
+    # binary silently runs old kernels), under an flock so concurrent
+    # first-touch (forked data workers, parallel eval jobs sharing the
+    # repo) cannot race the rebuild and dlopen a half-written library; if
+    # the toolchain is absent but a prebuilt .so exists, fall through
+    src = os.path.join(os.path.abspath(_NATIVE_DIR), "i2pnet_io.cpp")
     try:
-        subprocess.run(
-            ["make", "-C", os.path.abspath(_NATIVE_DIR)],
-            check=True,
-            capture_output=True,
-            timeout=120,
+        stale = (not os.path.exists(_LIB_PATH)) or (
+            os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
         )
-    except Exception:
-        if not os.path.exists(_LIB_PATH):
-            return None
+    except OSError:
+        stale = True
+    if stale:
+        try:
+            import fcntl
+
+            lock_path = os.path.join(os.path.abspath(_NATIVE_DIR), ".build.lock")
+            with open(lock_path, "w") as lock:
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                try:
+                    # re-check under the lock: another process may have
+                    # finished the rebuild while we waited
+                    fresh = os.path.exists(_LIB_PATH) and (
+                        os.path.getmtime(src) <= os.path.getmtime(_LIB_PATH)
+                    )
+                    if not fresh:
+                        subprocess.run(
+                            ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                            check=True,
+                            capture_output=True,
+                            timeout=120,
+                        )
+                finally:
+                    fcntl.flock(lock, fcntl.LOCK_UN)
+        except Exception:
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:

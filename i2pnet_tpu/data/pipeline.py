@@ -68,9 +68,12 @@ def to_model_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return {KEY_RENAMES.get(k, k): v for k, v in batch.items()}
 
 
-# fork-inherited worker state: set in the parent right before the pool is
-# created so child processes see it without per-task pickling of the dataset
-_WORKER_STATE: dict = {}
+# fork-inherited worker state, keyed per loader: each BatchLoader publishes
+# its {dataset, transform} under a unique token BEFORE forking its pool, so
+# children see it without per-task pickling and two concurrently-iterated
+# loaders cannot clobber each other's state
+_WORKER_STATES: Dict[int, dict] = {}
+_LOADER_TOKENS = iter(range(1 << 62))
 
 
 def _assemble_batch(task):
@@ -84,9 +87,10 @@ def _assemble_batch(task):
     regardless of worker count, different across batches and epochs (the
     reference torch DataLoader reseeds workers per epoch the same way,
     ref src/deterministic.py:6-13 seed_worker)."""
-    bidx, device_only, task_seed = task
-    ds = _WORKER_STATE["dataset"]
-    transform = _WORKER_STATE["transform"]
+    token, bidx, device_only, task_seed = task
+    state = _WORKER_STATES[token]
+    ds = state["dataset"]
+    transform = state["transform"]
     if task_seed is not None and hasattr(ds, "rng"):
         ds.rng = np.random.default_rng(task_seed)
     samples = [ds[int(i)] for i in bidx]
@@ -133,6 +137,21 @@ class BatchLoader:
         self.seed = seed
         self._epoch = 0
         self.rng = np.random.default_rng(seed)
+        self._token = next(_LOADER_TOKENS)
+        self._pool: Optional[concurrent.futures.ProcessPoolExecutor] = None
+
+    def close(self) -> None:
+        """Shut down the persistent worker pool (no-op if never started)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+            _WORKER_STATES.pop(self._token, None)
+
+    def __del__(self):  # best-effort; explicit close() preferred in tests
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -175,36 +194,54 @@ class BatchLoader:
                 break
             yield item
 
+    def _get_pool(self) -> concurrent.futures.ProcessPoolExecutor:
+        """Persistent worker pool, created lazily on first use and reused
+        across epochs (torch DataLoader persistent_workers semantics, ref
+        train20v2learn_wandb.py:160-167). Fork-per-epoch was both slow
+        (re-forking a large resident dataset) and a latent deadlock with
+        the JAX runtime's threads live in the parent; forking ONCE before
+        the first epoch's first step minimizes that window.
+
+        NOTE (fork-after-jax-init): children only run numpy, but fork()
+        after the TPU client exists is still best avoided — construct
+        loaders (or run one epoch) before touching the accelerator when
+        num_workers >= 1."""
+        if self._pool is None:
+            # publish this loader's state under its token BEFORE forking so
+            # the children's snapshot contains it
+            _WORKER_STATES[self._token] = {
+                "dataset": self.dataset,
+                "transform": self.transform,
+            }
+            ctx = multiprocessing.get_context("fork")
+            self._pool = concurrent.futures.ProcessPoolExecutor(
+                max_workers=self.num_workers, mp_context=ctx
+            )
+        return self._pool
+
     def _iter_multiprocess(self) -> Iterator[Dict[str, np.ndarray]]:
         batches = self._index_batches()
         epoch = self._epoch
         self._epoch += 1
-        # fork context: children inherit _WORKER_STATE without pickling the
-        # dataset per task (spawn would re-import and lose it)
-        _WORKER_STATE["dataset"] = self.dataset
-        _WORKER_STATE["transform"] = self.transform
-        ctx = multiprocessing.get_context("fork")
+        pool = self._get_pool()
         max_inflight = self.num_workers + max(self.prefetch, 1)
-        with concurrent.futures.ProcessPoolExecutor(
-            max_workers=self.num_workers, mp_context=ctx
-        ) as pool:
-            pending: "collections.deque" = collections.deque()
-            try:
-                for bi, bidx in enumerate(batches):
-                    task_seed = (self.seed, epoch, bi)
-                    pending.append(
-                        pool.submit(
-                            _assemble_batch,
-                            (bidx, self.device_only, task_seed),
-                        )
+        pending: "collections.deque" = collections.deque()
+        try:
+            for bi, bidx in enumerate(batches):
+                task_seed = (self.seed, epoch, bi)
+                pending.append(
+                    pool.submit(
+                        _assemble_batch,
+                        (self._token, bidx, self.device_only, task_seed),
                     )
-                    if len(pending) >= max_inflight:
-                        yield pending.popleft().result()
-                while pending:
+                )
+                if len(pending) >= max_inflight:
                     yield pending.popleft().result()
-            finally:
-                for f in pending:
-                    f.cancel()
+            while pending:
+                yield pending.popleft().result()
+        finally:
+            for f in pending:
+                f.cancel()
 
 
 def prefetch_to_device(iterator, sharding=None, size: int = 2):

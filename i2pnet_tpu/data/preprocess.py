@@ -379,16 +379,37 @@ def load_test_rt(path: str) -> np.ndarray:
     else:
         import pandas as pd
 
-        df = pd.read_csv(path, sep=",")
-        cols = {str(c).strip().lower(): c for c in df.columns}
-        want = ["rx", "ry", "rz", "tx", "ty", "tz"]
-        if all(w in cols for w in want):
-            rt = df[[cols[w] for w in want]].to_numpy(np.float64)
-        else:
-            rt = df.to_numpy(np.float64)
+        # sniff: a truly headerless table starts with an all-numeric row;
+        # pandas' default header inference would consume it as column
+        # names and silently drop sample 0 (shifting every decalibration)
+        with open(path) as f:
+            first = f.readline()
+
+        def _numeric_row(line: str) -> bool:
+            cells = [c.strip() for c in line.strip().split(",") if c.strip()]
+            if not cells:
+                return False
+            try:
+                [float(c) for c in cells]
+            except ValueError:
+                return False
+            return True
+
+        if _numeric_row(first):
+            rt = pd.read_csv(path, sep=",", header=None).to_numpy(np.float64)
             if rt.shape[1] == 7:
                 # headerless id+6: assume the reference CSV layout
                 rt = rt[:, [4, 5, 6, 1, 2, 3]]
+        else:
+            df = pd.read_csv(path, sep=",")
+            cols = {str(c).strip().lower(): c for c in df.columns}
+            want = ["rx", "ry", "rz", "tx", "ty", "tz"]
+            if all(w in cols for w in want):
+                rt = df[[cols[w] for w in want]].to_numpy(np.float64)
+            else:
+                rt = df.to_numpy(np.float64)
+                if rt.shape[1] == 7:
+                    rt = rt[:, [4, 5, 6, 1, 2, 3]]
     if rt.shape[1] != 6:
         raise ValueError(f"{path}: expected 6 (or id+6) columns, got {rt.shape[1]}")
     return rt

@@ -148,11 +148,17 @@ class Evaluator:
         # ref evaluation_proj.py:239-264).
         bsz = loader.batch_size
         full = [t for t, n in batch_times if n == bsz]
-        timed = full[1:] if len(full) > 1 else full
+        timed = full[1:]
+        timing_includes_compile = False
         if timed:
             mean_time = float(np.mean(timed))
             mean_fps = bsz / mean_time if mean_time > 0 else float("nan")
-        else:  # only ragged batches: report aggregate throughput
+        else:
+            # zero or one full batch: there is no compile-free full-batch
+            # sample, so report aggregate throughput and flag that the jit
+            # compile is inside the window (a single full batch would
+            # otherwise report its compile as steady-state time)
+            timing_includes_compile = True
             tot_t = sum(t for t, _ in batch_times)
             tot_n = sum(n for _, n in batch_times)
             mean_time = tot_t / max(len(batch_times), 1)
@@ -171,6 +177,7 @@ class Evaluator:
             "msee": float(np.concatenate(msee_all).mean()),
             "mean_time_s": mean_time,
             "mean_fps": mean_fps,
+            "timing_includes_compile": timing_includes_compile,
             "count": ev.all_count,
         }
 

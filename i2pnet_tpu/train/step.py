@@ -14,7 +14,27 @@ import jax
 import jax.numpy as jnp
 
 from i2pnet_tpu.config import I2PNetConfig
-from i2pnet_tpu.losses import projection_mask_loss, registration_loss
+from i2pnet_tpu.losses import (
+    get_projection_gt,
+    projection_mask_loss,
+    registration_loss,
+)
+
+
+def _compute_gt_project(batch, hw):
+    """On-device in-frustum labels as one-hot (B, N, 2), the array the
+    reference builds in its train/validate loops when the gt-mask flags are
+    set (ref train20v2learn_wandb.py:732-736 / :356-360: get_projection_gt
+    + F.one_hot(num_classes=2)). Computed inside the jitted step — no extra
+    host round-trip."""
+    labels = get_projection_gt(
+        batch["lidar"],
+        batch["intrinsic"],
+        tuple(hw),
+        batch["decalib_q_gt"],
+        batch["decalib_t_gt"],
+    )
+    return jax.nn.one_hot(labels, 2, dtype=jnp.float32)
 
 
 def _delay_now_step(cfg, step):
@@ -50,6 +70,13 @@ def _free_point_loss_fn(model, cfg: I2PNetConfig, img_size=None,
         raise ValueError(f"train_target must be all|regist|class, got {train_target}")
 
     def loss_fn(params, batch_stats, batch, rng, step):
+        hw_ = img_size or batch["rgb"].shape[1:3]
+        gt_project = batch.get("gt_project")
+        if gt_project is None and cfg.ground_truth_projection_mask:
+            # the reference computes gt_project in-loop when the flag is
+            # set (ref train20v2learn_wandb.py:732-736); here it lives on
+            # device inside the jitted step
+            gt_project = _compute_gt_project(batch, hw_)
         out, new_model_state = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["rgb"],
@@ -57,7 +84,7 @@ def _free_point_loss_fn(model, cfg: I2PNetConfig, img_size=None,
             batch["intrinsic"],
             lidar_feature=batch.get("lidar_feats"),
             raw_xyz=batch.get("raw_xyz"),
-            gt_project=batch.get("gt_project"),
+            gt_project=gt_project,
             now_step=_delay_now_step(cfg, step),
             train=True,
             mutable=["batch_stats"],
@@ -72,7 +99,7 @@ def _free_point_loss_fn(model, cfg: I2PNetConfig, img_size=None,
             out["sq"],
             l1_trans=cfg.l1_trans_loss,
         )
-        hw = img_size or batch["rgb"].shape[1:3]
+        hw = hw_
         pls = [
             projection_mask_loss(
                 pm,
@@ -276,10 +303,15 @@ def make_eval_step(model, cfg: I2PNetConfig):
     the reference's validate() (ref train20v2learn_wandb.py:373-396 passes
     gt_project and the model's decremented buffer), so gt-mask /
     mask_delay configs are evaluated with the same mask mixture they
-    train with.
+    train with. When cfg.ground_truth_projection_mask_eval is set and the
+    batch carries no gt_project, the labels are computed on device exactly
+    as the reference's validate() does (ref :356-360).
     """
 
     def eval_step(state, batch):
+        gt_project = batch.get("gt_project")
+        if gt_project is None and cfg.ground_truth_projection_mask_eval:
+            gt_project = _compute_gt_project(batch, batch["rgb"].shape[1:3])
         return model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["rgb"],
@@ -287,7 +319,7 @@ def make_eval_step(model, cfg: I2PNetConfig):
             batch["intrinsic"],
             lidar_feature=batch.get("lidar_feats"),
             raw_xyz=batch.get("raw_xyz"),
-            gt_project=batch.get("gt_project"),
+            gt_project=gt_project,
             now_step=_delay_now_step(cfg, state.step),
             train=False,
         )

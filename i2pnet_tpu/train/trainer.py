@@ -270,9 +270,11 @@ class Trainer:
                     )
             dt = time.time() - t0
             # the per-batch values stayed on device (no pipeline stall);
-            # this is the TRUE epoch mean, not a save_rate subsample
+            # this is the TRUE epoch mean, not a save_rate subsample.
+            # stack on device and pull ONCE: per-scalar device_get over the
+            # axon transport pays a ~3 ms dispatch floor each (CLAUDE.md)
             mean_loss = (
-                float(np.mean([np.asarray(x) for x in losses_dev]))
+                float(np.asarray(jnp.mean(jnp.stack(losses_dev))))
                 if losses_dev else float("nan")
             )
             self.writer.add_scalar("train/epoch_time_s", dt, epoch)
@@ -337,16 +339,21 @@ class Trainer:
         pm3 if layer_mask[1] else pm4; one_head_mask uses pm3) and
         metric.py:167-179 eval_acc (gt labels recomputed at the head's own
         point level pm[1])."""
+        if self.proj:
+            # the proj harness computes no mask accuracy (its model has no
+            # mask heads, ref train20v2learn_wandb_proj.py)
+            return None
         cfg = self.cfg
-        if self.proj or not getattr(cfg, "use_projection_mask", False):
-            if out.get("pm3") is not None and getattr(cfg, "one_head_mask", False):
-                pm, sigmoid = out["pm3"], False
+        if cfg.use_projection_mask:
+            if out.get("pm3") is not None and cfg.layer_mask[1]:
+                pm, sigmoid = out["pm3"], cfg.mask_sigmoid
+            elif out.get("pm4") is not None and cfg.layer_mask[0]:
+                pm, sigmoid = out["pm4"], cfg.mask_sigmoid
             else:
                 return None
-        elif out.get("pm3") is not None and cfg.layer_mask[1]:
-            pm, sigmoid = out["pm3"], cfg.mask_sigmoid
-        elif out.get("pm4") is not None and cfg.layer_mask[0]:
-            pm, sigmoid = out["pm4"], cfg.mask_sigmoid
+        elif out.get("pm3") is not None and cfg.one_head_mask:
+            # ref :388-389 passes no sigmoid flag here (defaults False)
+            pm, sigmoid = out["pm3"], False
         else:
             return None
         from i2pnet_tpu.losses import get_projection_gt

@@ -129,6 +129,65 @@ def test_trainer_extra_splits_and_mask_acc(synth_root, tmp_path):
     assert trainer.extra_best["af_"]["rotation"] < np.inf
 
 
+def test_trainer_gt_mask_delay_anneals_in_real_run(synth_root, tmp_path):
+    """mask_delay=True must actually anneal gt->pred masks over a real
+    Trainer.train() run: no gt_project is ever hand-passed — the step
+    computes it from the flag (ref train20v2learn_wandb.py:732-751) and
+    the DelayWeight counter follows the global optimizer step
+    (ref MainModules.py:431-449)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from i2pnet_tpu.config import I2PNetConfig
+    from i2pnet_tpu.models import I2PNet
+    from i2pnet_tpu.train.trainer import Trainer
+
+    cfg = dataclasses.replace(
+        I2PNetConfig.tiny(),
+        use_projection_mask=True,
+        layer_mask=(True, True),
+        ground_truth_mask_layer=(True, True),
+        ground_truth_projection_mask=True,
+        ground_truth_projection_mask_eval=True,
+        mask_delay=True,
+        mask_delay_step=1,  # anneal completes after one optimizer step
+        projection_mask_mlps=((16, 16), (16, 16)),
+    )
+    model = I2PNet(cfg)
+    train_ds, valid_ds = _make_datasets(synth_root, cfg)
+    log_dir = str(tmp_path / "run_gt_delay")
+
+    trainer = Trainer(
+        model, cfg, train_ds, valid_ds, log_dir=log_dir,
+        batch_size=2, epochs=1, seed=0, save_rate=1,
+    )
+    trainer.train()
+    assert int(trainer.state.step) >= 2  # past the delay window
+
+    # same trained params, same batch: step 0 (pure gt masks) vs the
+    # trained step (pure predicted masks) must give different poses —
+    # proof the anneal moved during the run
+    batch = next(iter(trainer.valid_loader))
+    from i2pnet_tpu.data.pipeline import to_model_batch
+
+    mb = {k: jnp.asarray(v) for k, v in to_model_batch(
+        {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    ).items()}
+    out_trained = trainer._eval_step(trainer.state, mb)
+    out_step0 = trainer._eval_step(
+        trainer.state.replace(step=jnp.asarray(0)), mb
+    )
+    assert not np.allclose(
+        np.asarray(out_trained["out3"]), np.asarray(out_step0["out3"])
+    )
+    # mask accuracy is computed against the eval-time gt labels
+    val = trainer.validate()
+    assert 0.0 < val["acc"] <= 1.0
+
+
 def test_evaluator_end_to_end(synth_root, tmp_path):
     import jax
 

@@ -136,3 +136,43 @@ def test_multiworker_augmentation_draws_differ_across_batches_and_epochs():
     epoch1b = [b["x"].copy() for b in loader2]
     for a, b in zip(epoch1, epoch1b):
         np.testing.assert_array_equal(a, b)
+    loader.close()
+    loader2.close()
+
+
+def test_multiworker_pool_is_persistent_across_epochs():
+    # two epochs over ONE pool: the pool is created once (lazily), reused,
+    # and determinism per (seed, epoch, batch) is unchanged
+    ds = _ArrayDataset()
+    loader = BatchLoader(ds, 4, shuffle=True, seed=7, num_workers=2)
+    assert loader._pool is None
+    e1 = _epoch(loader)
+    pool_after_e1 = loader._pool
+    assert pool_after_e1 is not None
+    e2 = _epoch(loader)
+    assert loader._pool is pool_after_e1  # reused, not re-forked
+
+    ref = BatchLoader(ds, 4, shuffle=True, seed=7, num_workers=0)
+    r1, r2 = _epoch(ref), _epoch(ref)
+    for got, want in zip(e1 + e2, r1 + r2):
+        np.testing.assert_array_equal(got["x"], want["x"])
+    loader.close()
+    assert loader._pool is None
+
+
+def test_two_concurrent_multiworker_loaders_do_not_clobber_state():
+    # per-loader worker-state tokens: interleaved iteration over two pools
+    # with different datasets must keep each loader's samples intact
+    ds_a = _ArrayDataset(n=16, seed=1)
+    ds_b = _ArrayDataset(n=16, seed=2)
+    la = BatchLoader(ds_a, 4, shuffle=False, num_workers=1)
+    lb = BatchLoader(ds_b, 4, shuffle=False, num_workers=1)
+    ia, ib = iter(la), iter(lb)
+    got_a, got_b = [], []
+    for _ in range(4):
+        got_a.append(next(ia)["x"])
+        got_b.append(next(ib)["x"])
+    np.testing.assert_array_equal(np.concatenate(got_a), ds_a.x)
+    np.testing.assert_array_equal(np.concatenate(got_b), ds_b.x)
+    la.close()
+    lb.close()

@@ -104,6 +104,20 @@ def test_load_test_rt_csv_and_pkl(tmp_path):
                header="id," + header, comments="")
     np.testing.assert_allclose(load_test_rt(str(csv7)), rt, atol=1e-12)
 
+    # headerless variants: the first row is data, not column names — row 0
+    # must survive (pandas default header inference would eat it and shift
+    # every sample's decalibration by one)
+    csv_h6 = tmp_path / "headerless6.csv"
+    np.savetxt(csv_h6, rt, delimiter=",")
+    np.testing.assert_allclose(load_test_rt(str(csv_h6)), rt, atol=1e-12)
+    csv_h7 = tmp_path / "headerless7.csv"  # id,tx..tz,rx..rz (ref layout)
+    np.savetxt(
+        csv_h7,
+        np.hstack([np.arange(5)[:, None], rt[:, 3:], rt[:, :3]]),
+        delimiter=",",
+    )
+    np.testing.assert_allclose(load_test_rt(str(csv_h7)), rt, atol=1e-12)
+
     # per-seed pkl (the CMR 10-seed protocol format)
     p = cmr_test_rt_path(str(tmp_path), "00", 10.0, 2.0, 3)
     assert p.endswith(f"test_RT_seq00_10.00_2.00_{cmr_seed_value(3):d}.pkl")

@@ -205,6 +205,66 @@ def test_delay_weight_anneals_with_global_step():
     assert float(m0["loss"]) != float(m_late["loss"])
 
 
+def test_gt_mask_flag_computes_labels_inside_step():
+    """With ground_truth_projection_mask=True the jitted step must build
+    gt_project on device — flipping the flag changes training, with no
+    hand-passed array (ref train20v2learn_wandb.py:732-736 computes it
+    in-loop when the flag is set)."""
+    import dataclasses
+
+    from i2pnet_tpu.losses import get_projection_gt
+    from i2pnet_tpu.train.step import _free_point_loss_fn
+
+    base = dataclasses.replace(
+        I2PNetConfig.tiny(),
+        use_projection_mask=True,
+        layer_mask=(True, True),
+        ground_truth_mask_layer=(True, True),
+        projection_mask_mlps=((16, 16), (16, 16)),
+    )
+    cfg_gt = dataclasses.replace(base, ground_truth_projection_mask=True)
+    model_gt = I2PNet(cfg_gt)
+    batch = _synthetic_batch(base)  # deliberately NO gt_project key
+    variables = I2PNet(base).init(
+        jax.random.key(0), batch["rgb"], batch["lidar"], batch["intrinsic"],
+        train=False,
+    )
+
+    def loss_for(cfg, extra=None):
+        b = dict(batch, **(extra or {}))
+        fn = _free_point_loss_fn(I2PNet(cfg), cfg)
+        loss, _ = fn(variables["params"], variables["batch_stats"], b,
+                     jax.random.key(1), jnp.asarray(0))
+        return float(loss)
+
+    l_off = loss_for(base)
+    l_on = loss_for(cfg_gt)
+    assert l_on != l_off  # the flag changes behavior with no gt in the batch
+
+    # the on-device labels equal the hand-computed path the tests used
+    gp = jax.nn.one_hot(
+        get_projection_gt(batch["lidar"], batch["intrinsic"], (64, 128),
+                          batch["decalib_q_gt"], batch["decalib_t_gt"]), 2)
+    np.testing.assert_allclose(l_on, loss_for(cfg_gt, {"gt_project": gp}),
+                               rtol=1e-6)
+    # handing the model gt masks without the flag gives the same blend
+    np.testing.assert_allclose(l_on, loss_for(base, {"gt_project": gp}),
+                               rtol=1e-6)
+
+    # eval flag: make_eval_step computes gt when ..._mask_eval is set
+    from i2pnet_tpu.train import make_eval_step
+
+    cfg_ev = dataclasses.replace(base, ground_truth_projection_mask_eval=True)
+    state = create_train_state(I2PNet(cfg_ev), variables, steps_per_epoch=10)
+    out_ev = make_eval_step(I2PNet(cfg_ev), cfg_ev)(state, batch)
+    out_plain = make_eval_step(I2PNet(base), base)(state, batch)
+    assert not np.allclose(np.asarray(out_ev["out3"]),
+                           np.asarray(out_plain["out3"]))
+    out_hand = make_eval_step(I2PNet(base), base)(state, dict(batch, gt_project=gp))
+    np.testing.assert_allclose(np.asarray(out_ev["out3"]),
+                               np.asarray(out_hand["out3"]), rtol=1e-6)
+
+
 def test_timings_profiler():
     from i2pnet_tpu.utils import Timings
 
