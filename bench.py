@@ -132,12 +132,32 @@ def bench_proj_forward():
     )
     iters = 10
     dt = time_fn(fwd, (variables, rgb, lidar, raw, intr), iters)
-    return BATCH * iters / dt
+    fwd_pairs = BATCH * iters / dt
+
+    # proj train step (fwd+bwd+Adam) — the path large-range training runs
+    # (ref train20v2learn_wandb_proj.py); in the JSON so regressions show
+    from i2pnet_tpu.train import create_train_state, make_train_step_proj
+
+    batch = {
+        "rgb": rgb, "lidar": lidar, "raw_xyz": raw, "intrinsic": intr,
+        "decalib_q_gt": jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (BATCH, 1)),
+        "decalib_t_gt": jnp.zeros((BATCH, 3)),
+    }
+    state = create_train_state(model, variables, steps_per_epoch=100)
+    step = jax.jit(make_train_step_proj(model, cfg), donate_argnums=(0,))
+    state, m = step(state, batch, jax.random.key(0))  # warmup / compile
+    sync(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, batch, jax.random.key(i))
+    sync(m["loss"])
+    train_pairs = BATCH * iters / (time.perf_counter() - t0)
+    return fwd_pairs, train_pairs
 
 
 def main():
     fwd_pairs, train_pairs = bench_free_point_forward()
-    proj_pairs = bench_proj_forward()
+    proj_pairs, proj_train_pairs = bench_proj_forward()
     print(
         json.dumps(
             {
@@ -147,6 +167,7 @@ def main():
                 "vs_baseline": round(fwd_pairs / REFERENCE_PAIRS_PER_SEC, 3),
                 "proj_fwd_pairs_per_sec": round(proj_pairs, 2),
                 "train_pairs_per_sec": round(train_pairs, 2),
+                "proj_train_pairs_per_sec": round(proj_train_pairs, 2),
             }
         )
     )

@@ -89,9 +89,29 @@ class I2PNetConfig:
     mask_delay: bool = False
     mask_delay_step: int = 1904 * 8 * 30
 
+    # --- online-calibration EFGH variant: project lidar through a full
+    # per-sample calib matrix (P_2 @ Tr) instead of assuming camera-frame
+    # points + intrinsics. The reference snapshot ships the warp math
+    # (ref src/modules/warp_utils.py:97-146) and threads data['calib']
+    # from the harness when modelcfg.efgh (ref
+    # train20v2learn_wandb.py:741-745) but its model never consumes it and
+    # no config defines the flag — the branch is vestigial there; here it
+    # is wired end-to-end (see models/i2pnet.py).
+    efgh: bool = False
+
     # --- TPU compute dtype for conv/dense stacks ('float32'|'bfloat16');
-    # params and normalization stay f32 (mixed precision)
+    # params and normalization statistics stay f32 (mixed precision)
     compute_dtype: str = "float32"
+    # remat the RGB encoder stages (save only conv outputs; recompute the
+    # BN/LeakyReLU/pool chains in the backward). Measured NEGATIVE on v5e
+    # at the shipped shapes (121.0 -> 122.5 ms step; BASELINE.md round-3)
+    # — kept as a knob for larger models/batches where residuals spill
+    encoder_remat: bool = False
+    # apply BN normalization in compute_dtype (stats stay f32); halves the
+    # encoder's BN-chain residual traffic when compute_dtype=bfloat16.
+    # Measured: train step 121.0 -> 110.0 ms on v5e (BASELINE.md round-3).
+    # No effect at compute_dtype=float32 (the parity default).
+    encoder_bn_compute_dtype: bool = True
 
     # --- loss (ref :96-103)
     sq_init: float = -2.5
@@ -208,6 +228,9 @@ class I2PNetProjConfig:
 
     # --- TPU compute dtype for conv/dense stacks ('float32'|'bfloat16')
     compute_dtype: str = "float32"
+    # see I2PNetConfig: RGB-encoder remat + BN-in-compute-dtype levers
+    encoder_remat: bool = False
+    encoder_bn_compute_dtype: bool = True
 
     # reproduce the reference's NaN-row pad scatter (zeroes cell (0, W//2)
     # when the cloud has zero-pad points; see ops.projection.spherical_project)

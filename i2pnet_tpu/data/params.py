@@ -79,3 +79,24 @@ NUSCENES = {
     "valid": dict(root_path="/dataset/nuScenes", mode="val"),
     "test": dict(root_path="/dataset/nuScenes", mode="test"),
 }
+
+# real-rig localization dataset (ref dataset_params.py:156-180 REAL_DATA;
+# frames read by data/realloc.py — the reference's own train loader for
+# this protocol, src/real_dataset.py, is absent from the snapshot)
+REAL_DATA = {
+    "train": dict(
+        root_path="/dataset/real_localize", mode="train",
+        d_rot=10, d_trans=1.0, fixed_decalib=False,
+        resize_w=1216, resize_h=352,
+    ),
+    "valid3": dict(
+        root_path="/dataset/real_localize", mode="test",
+        d_rot=10, d_trans=1.0, fixed_decalib=False,
+        resize_w=1216, resize_h=352,
+    ),
+    "test": dict(
+        root_path="/dataset/real_localize", mode="val",
+        d_rot=-1, d_trans=-1, fixed_decalib=False,
+        resize_w=1216, resize_h=352,
+    ),
+}

@@ -35,6 +35,7 @@ DEVICE_KEYS = (
     "init_intrinsic",
     "decalib_real_gt",
     "decalib_dual_gt",
+    "calib",  # efgh online-calibration matrix (ref data['calib'])
 )
 
 # names used by the train-step batch dicts

@@ -389,12 +389,12 @@ def main(argv=None):
 
     try:
         from nuscenes.nuscenes import NuScenes
-    except ImportError as e:  # pragma: no cover - external dependency
-        raise SystemExit(
-            "nuscenes-devkit is required for offline preprocessing "
-            "(pip install nuscenes-devkit); the training/eval stack itself "
-            "does not need it"
-        ) from e
+    except ImportError:
+        # self-contained fallback: read the v1.0 JSON tables directly —
+        # same schema, same derived reverse index (data/nuscenes_lite.py);
+        # the devkit is only preferred when installed for byte-level
+        # compatibility with its own loaders
+        from i2pnet_tpu.data.nuscenes_lite import NuScenesLite as NuScenes
 
     wanted = set(args.splits.split(","))
     # split protocol: train = 70 of scenes [0, 700), val = 6 of [700, 850),

@@ -70,11 +70,29 @@ class I2PNet(nn.Module):
         raw_xyz: Optional[jnp.ndarray] = None,
         gt_project: Optional[jnp.ndarray] = None,
         now_step: Optional[jnp.ndarray] = None,
+        calib: Optional[jnp.ndarray] = None,
         train: bool = False,
     ):
         # gt_project: (B, N, 2) one-hot in-frustum labels (ref modellearn.py
         # :262 "gt_project [B,N,2]"); subsampled through the FPS pyramid.
+        #
+        # calib (B, 3or4, 4): EFGH online-calibration projection matrix
+        # (P_2 @ Tr). When cfg.efgh, points are in the LiDAR frame and all
+        # image-plane projections go through calib (pixel frame) instead of
+        # the normalized camera plane (ref warp_utils.py:97-146
+        # warp_quat_EFGH / projection_initial_EFGH; the reference's model
+        # never routes them — see config.efgh note — so the routing here is
+        # the coherent-frame completion: lidar uv and the pixel grid both
+        # live in FEATURE-pixel coordinates).
         cfg = self.cfg
+        if cfg.efgh:
+            if calib is None:
+                raise ValueError("cfg.efgh=True requires the calib input")
+            if cfg.use_projection_mask or cfg.ground_truth_projection_mask \
+                    or cfg.ground_truth_projection_mask_eval:
+                # the reference's harness asserts the same exclusion
+                # (ref train20v2learn_wandb.py:738-740)
+                raise ValueError("efgh and projection masks are exclusive")
         B, H, W, _ = rgb_img.shape
         layer_pts = cfg.lidar_layer_points
         mlps = cfg.lidar_encoder_mlps
@@ -88,9 +106,13 @@ class I2PNet(nn.Module):
             now_step = jnp.asarray(cfg.mask_delay_step, jnp.float32)
 
         # ---- image branch (ref modellearn.py:190-197)
-        rgb_feats = RGBEncoder(cfg.rgb_encoder_channels, dtype=cdt, name="rgb_encoder")(
-            rgb_img, train
-        )
+        rgb_feats = RGBEncoder(
+            cfg.rgb_encoder_channels,
+            dtype=cdt,
+            bn_compute_dtype=cfg.encoder_bn_compute_dtype,
+            remat=cfg.encoder_remat,
+            name="rgb_encoder",
+        )(rgb_img, train)
         RF3 = rgb_feats[-1]  # (B, h3, w3, C)
         h3, w3 = RF3.shape[1], RF3.shape[2]
         RF3_index = set_id_grid(h3, w3, B)
@@ -115,20 +137,36 @@ class I2PNet(nn.Module):
             layer_pts[3], cfg.lidar_group_samples[3], mlps[3], dtype=cdt, name="lidar_lv4"
         )(P3, LF3, raw_xyz=P3_raw, **sa_kw)
 
-        # ---- pixel grid to normalized camera plane (ref :220-226; the
-        # reference's CPU torch.inverse workaround disappears — jnp inverts
-        # the 3x3 on device)
-        intrinsic3 = change_intrinsic(intrinsic.astype(jnp.float32), (h3, w3), (H, W))
-        intrinsic3_inv = jnp.linalg.inv(intrinsic3)
-        # HIGHEST: bf16 K^-1 products would shift normalized-plane pixel
-        # coords by ~0.4% of the inter-pixel spacing (CLAUDE.md rule)
-        RF3_index = jnp.einsum(
-            "bij,bnj->bni", intrinsic3_inv, RF3_index,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        calib3 = None
+        if cfg.efgh:
+            # scale the projection matrix to the feature grid exactly like
+            # change_intrinsic scales K (row 0 by w3/W, row 1 by h3/H): the
+            # lidar projections and the raw pixel grid then share the
+            # FEATURE-pixel frame, the efgh analogue of the normalized
+            # camera plane
+            scale = jnp.asarray(
+                [[w3 / W], [h3 / H], [1.0]], jnp.float32
+            )
+            calib3 = calib[:, :3, :].astype(jnp.float32) * scale
+            # RF3_index stays the raw homogeneous pixel grid (u, v, 1)
+            lidar_uv, lidar_z = Q.project_with_calib(P3, calib3)
+        else:
+            # ---- pixel grid to normalized camera plane (ref :220-226; the
+            # reference's CPU torch.inverse workaround disappears — jnp
+            # inverts the 3x3 on device)
+            intrinsic3 = change_intrinsic(
+                intrinsic.astype(jnp.float32), (h3, w3), (H, W)
+            )
+            intrinsic3_inv = jnp.linalg.inv(intrinsic3)
+            # HIGHEST: bf16 K^-1 products would shift normalized-plane pixel
+            # coords by ~0.4% of the inter-pixel spacing (CLAUDE.md rule)
+            RF3_index = jnp.einsum(
+                "bij,bnj->bni", intrinsic3_inv, RF3_index,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
-        # lidar points onto normalized plane (ref :230-232)
-        lidar_uv, lidar_z = Q.project_to_normalized_plane(P3)
+            # lidar points onto normalized plane (ref :230-232)
+            lidar_uv, lidar_z = Q.project_to_normalized_plane(P3)
 
         RF3_flat = RF3.reshape(B, h3 * w3, RF3.shape[-1])
 
@@ -196,8 +234,12 @@ class I2PNet(nn.Module):
         )(l4_points_predict, l4_cost_volume_w, P4, LF4, l4_mask_for_head, train)
         out4 = jnp.concatenate([q4, t4], axis=1)
 
-        # ---- warp l3 by the coarse pose, second cost volume (ref :292-301)
-        warped_uv, warped_z = Q.warp_to_normalized_plane(P3, q4, t4)
+        # ---- warp l3 by the coarse pose, second cost volume (ref :292-301;
+        # efgh: warp then project through calib, ref warp_utils.py:97-131)
+        if cfg.efgh:
+            warped_uv, warped_z = Q.warp_with_calib(P3, q4, t4, calib3)
+        else:
+            warped_uv, warped_z = Q.warp_to_normalized_plane(P3, q4, t4)
         concat_3 = CostVolume(
             nsample=cfg.cost_volume_nsample,
             nsample_q=cfg.cost_volume_nsamples_q[1],

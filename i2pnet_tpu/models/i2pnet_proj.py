@@ -60,9 +60,13 @@ class I2PNetProj(nn.Module):
         cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
         # ---- image branch (ref :230-238)
-        rgb_feats = RGBEncoder(cfg.rgb_encoder_channels, dtype=cdt, name="rgb_encoder")(
-            rgb_img, train
-        )
+        rgb_feats = RGBEncoder(
+            cfg.rgb_encoder_channels,
+            dtype=cdt,
+            bn_compute_dtype=cfg.encoder_bn_compute_dtype,
+            remat=cfg.encoder_remat,
+            name="rgb_encoder",
+        )(rgb_img, train)
         RF3 = rgb_feats[-1]
         h3, w3 = RF3.shape[1], RF3.shape[2]
         RF3_index = set_id_grid(h3, w3, B)

@@ -15,6 +15,7 @@ from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -184,6 +185,82 @@ def _pool3_route_pallas(argtap, ct, s):
     )
 
 
+def _pool3_allties_bwd(x, y, ct, s):
+    """dx for the 3x3/stride-s max-pool, distributing the cotangent to ALL
+    window entries equal to the max (a valid subgradient; XLA's
+    select-and-scatter routes ties to the first match instead). Pure
+    elementwise shifts — no select-and-scatter, no argtap pass — so the
+    whole backward fuses into one pass over the full-res arrays.
+
+    s == 1: dx[i] = sum over the 9 windows covering i of ct * [x == y].
+    s == 2: by input parity plane (ph, pw): even coordinates are covered by
+    exactly one window, odd by two per axis — 1/2/4 taps on the quarter-res
+    y/ct grids, re-interleaved by one transpose.
+    """
+    if s == 1:
+        yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                     constant_values=-jnp.inf)
+        cp = jnp.pad(ct, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        H, W = x.shape[1:3]
+        dx = None
+        for oh in range(3):
+            for ow in range(3):
+                ys = lax.slice(yp, (0, oh, ow, 0),
+                               (yp.shape[0], oh + H, ow + W, yp.shape[3]))
+                cs = lax.slice(cp, (0, oh, ow, 0),
+                               (cp.shape[0], oh + H, ow + W, cp.shape[3]))
+                contrib = jnp.where(x == ys, cs, jnp.zeros_like(cs))
+                dx = contrib if dx is None else dx + contrib
+        return dx
+    # s == 2: H == 2*Ho, W == 2*Wo (guarded by the caller)
+    B, Ho, Wo, C = y.shape
+    yp = jnp.pad(y, ((0, 0), (0, 1), (0, 1), (0, 0)),
+                 constant_values=-jnp.inf)
+    cp = jnp.pad(ct, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    planes = []
+    for ph in (0, 1):
+        row = []
+        for pw in (0, 1):
+            xp = x[:, ph::2, pw::2, :]  # (B, Ho, Wo, C)
+            # input row 2m+ph is covered by output windows m (+ m+1 if odd)
+            taps_h = (0,) if ph == 0 else (0, 1)
+            taps_w = (0,) if pw == 0 else (0, 1)
+            acc = None
+            for a in taps_h:
+                for b in taps_w:
+                    ys = lax.slice(yp, (0, a, b, 0), (B, a + Ho, b + Wo, C))
+                    cs = lax.slice(cp, (0, a, b, 0), (B, a + Ho, b + Wo, C))
+                    contrib = jnp.where(xp == ys, cs, jnp.zeros_like(cs))
+                    acc = contrib if acc is None else acc + contrib
+            row.append(acc)
+        planes.append(row)
+    # interleave: dx[b, 2m+ph, 2n+pw, c] = planes[ph][pw][b, m, n, c]
+    stacked = jnp.stack(
+        [jnp.stack(row, axis=0) for row in planes], axis=0
+    )  # (2, 2, B, Ho, Wo, C)
+    return jnp.transpose(stacked, (2, 3, 0, 4, 1, 5)).reshape(
+        B, 2 * Ho, 2 * Wo, C
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _pool3_allties(x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    return _pool3_fwd(x, stride)
+
+
+def _pool3_allties_vjp_fwd(x, stride):
+    y = _pool3_fwd(x, stride)
+    return y, (x, y)
+
+
+def _pool3_allties_vjp_bwd(stride, res, ct):
+    x, y = res
+    return (_pool3_allties_bwd(x, y, ct, stride),)
+
+
+_pool3_allties.defvjp(_pool3_allties_vjp_fwd, _pool3_allties_vjp_bwd)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _pool3_custom(x: jnp.ndarray, stride: int) -> jnp.ndarray:
     return _pool3_fwd(x, stride)
@@ -226,13 +303,16 @@ def max_pool_3x3(x: jnp.ndarray, stride: int) -> jnp.ndarray:
     default. The real win retained here is pooling in the compute dtype
     (bf16 halves pool traffic: 56 -> 41.4 ms).
     """
-    if os.environ.get("I2PNET_POOL_PALLAS") == "1":
-        B, H, W, C = x.shape
-        Ho = (H - 1) // stride + 1
-        Wo = (W - 1) // stride + 1
-        clean = stride in (1, 2) and H == stride * Ho and W == stride * Wo
-        if clean:
-            return _pool3_custom(x, stride)
+    B, H, W, C = x.shape
+    Ho = (H - 1) // stride + 1
+    Wo = (W - 1) // stride + 1
+    clean = stride in (1, 2) and H == stride * Ho and W == stride * Wo
+    if clean and os.environ.get("I2PNET_POOL_ALLTIES") == "1":
+        # all-ties subgradient backward: pure shifts, fully fusable
+        # (round-3 A/B candidate; see _pool3_allties_bwd)
+        return _pool3_allties(x, stride)
+    if clean and os.environ.get("I2PNET_POOL_PALLAS") == "1":
+        return _pool3_custom(x, stride)
     return _pool3_fwd(x, stride)
 
 
@@ -322,21 +402,42 @@ class RGBEncoderStage(nn.Module):
 
     Per block: 3x3 conv (stride 1, pad 1) -> BN -> LeakyReLU(0.1) ->
     3x3 max-pool (stride s, pad 1). NHWC.
+
+    bn_compute_dtype: apply BN normalization in the compute dtype instead
+    of f32 (statistics and running stats stay f32 — flax promotes the
+    reductions); halves the BN/LeakyReLU chain's HBM residual traffic in
+    bf16 training.
     """
 
     channels: Sequence[int]
     strides: Sequence[int]
     dtype: Optional[jnp.dtype] = None
+    bn_compute_dtype: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        bn_dt = self.dtype if (self.bn_compute_dtype and self.dtype is not None) else None
         for ch, s in zip(self.channels, self.strides):
             x = nn.Conv(
                 ch, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
                 dtype=self.dtype,
             )(x)
-            x = x.astype(jnp.float32)
-            x = batch_norm(train)(x)
+            # remat boundary tag: under the encoder's checkpoint policy only
+            # these conv outputs are saved for the backward; the BN/LeakyReLU
+            # /pool chain is recomputed instead of round-tripping HBM.
+            # A no-op without remat.
+            x = jax.ad_checkpoint.checkpoint_name(x, "conv_out")
+            if bn_dt is None:
+                # normalization applied in f32 (round-2 default)
+                x = x.astype(jnp.float32)
+                x = batch_norm(train)(x)
+            else:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=BN_MOMENTUM,
+                    epsilon=BN_EPS,
+                    dtype=bn_dt,
+                )(x)
             x = nn.leaky_relu(x, negative_slope=0.1)
             if self.dtype is not None:
                 # max commutes with the monotone bf16 cast: pooling after
@@ -356,15 +457,39 @@ class RGBEncoder(nn.Module):
 
     Returns the stage outputs (RF1, RF2, RF3); overall stride is the product
     of all pool strides (x32 for the shipped config).
+
+    remat: checkpoint each stage, saving ONLY the tagged conv outputs;
+    the backward recomputes the BN/LeakyReLU/pool chains from them instead
+    of storing every intermediate at full resolution. The step is
+    HBM-bound at ~3 ms of v5e compute (BASELINE.md round-2 investigation),
+    so trading recompute FLOPs for residual traffic is the right direction.
+    Param/collection tree paths are unchanged (stages keep their auto
+    names via explicit name=).
     """
 
     stages: Tuple[Tuple[int, Tuple[int, ...], Tuple[int, ...]], ...]
     dtype: Optional[jnp.dtype] = None
+    bn_compute_dtype: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
+        if self.remat:
+            Stage = nn.remat(
+                RGBEncoderStage,
+                static_argnums=(2,),  # train flag
+                policy=jax.checkpoint_policies.save_only_these_names("conv_out"),
+            )
+        else:
+            Stage = RGBEncoderStage
         outs = []
-        for _, channels, strides in self.stages:
-            x = RGBEncoderStage(channels, strides, dtype=self.dtype)(x, train)
+        for i, (_, channels, strides) in enumerate(self.stages):
+            x = Stage(
+                channels,
+                strides,
+                dtype=self.dtype,
+                bn_compute_dtype=self.bn_compute_dtype,
+                name=f"RGBEncoderStage_{i}",
+            )(x, train)
             outs.append(x)
         return tuple(outs)

@@ -86,6 +86,7 @@ def _free_point_loss_fn(model, cfg: I2PNetConfig, img_size=None,
             raw_xyz=batch.get("raw_xyz"),
             gt_project=gt_project,
             now_step=_delay_now_step(cfg, step),
+            calib=batch.get("calib"),
             train=True,
             mutable=["batch_stats"],
             rngs={"dropout": rng},
@@ -321,6 +322,7 @@ def make_eval_step(model, cfg: I2PNetConfig):
             raw_xyz=batch.get("raw_xyz"),
             gt_project=gt_project,
             now_step=_delay_now_step(cfg, state.step),
+            calib=batch.get("calib"),
             train=False,
         )
 

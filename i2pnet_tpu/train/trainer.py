@@ -132,6 +132,8 @@ class Trainer:
         init_kw = {"lidar_feature": sample.get("lidar_feats")}
         if not proj:
             init_kw["raw_xyz"] = sample.get("raw_xyz")
+            if sample.get("calib") is not None:
+                init_kw["calib"] = sample["calib"]  # efgh variant
         variables = self.model.init(
             jax.random.key(seed), *init_args, train=False, **init_kw
         )

@@ -97,3 +97,43 @@ def test_max_pool_bf16(pool):
         np.asarray(pool(x32, 2).astype(jnp.bfloat16)),
         np.asarray(pool(x16, 2)),
     )
+
+
+def test_max_pool_allties_backward():
+    """All-ties backward (I2PNET_POOL_ALLTIES): equals autodiff exactly on
+    tie-free inputs; on ties it distributes the cotangent to every maximal
+    entry (a valid subgradient) and still conserves each window's mass
+    times its tie count."""
+    from i2pnet_tpu.nn.layers import _pool3_allties
+
+    rng = np.random.default_rng(5)
+    for (H, W, s) in [(8, 10, 1), (8, 10, 2), (6, 6, 2)]:
+        # continuous random draws: ties have probability zero
+        x = jnp.asarray(rng.normal(size=(2, H, W, 3)).astype(np.float32))
+        ct = jnp.asarray(
+            rng.normal(size=_ref_pool(x, s).shape).astype(np.float32)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(_pool3_allties(x, s)), np.asarray(_ref_pool(x, s))
+        )
+        g_ref = jax.grad(lambda x: jnp.sum(_ref_pool(x, s) * ct))(x)
+        g_got = jax.grad(lambda x: jnp.sum(_pool3_allties(x, s) * ct))(x)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   atol=1e-6)
+
+    # tied constant input: every window entry receives the full cotangent
+    x = jnp.ones((1, 4, 4, 1), jnp.float32)
+    ct = jnp.ones((1, 4, 4, 1), jnp.float32)
+    g = jax.grad(lambda x: jnp.sum(_pool3_allties(x, 1) * ct))(x)
+    # interior point (1,1) is inside 9 windows -> receives 9
+    assert float(g[0, 1, 1, 0]) == 9.0
+
+    # env-flag routing through max_pool_3x3
+    os.environ["I2PNET_POOL_ALLTIES"] = "1"
+    try:
+        x = jnp.asarray(rng.normal(size=(1, 8, 8, 2)).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(max_pool_3x3(x, 2)), np.asarray(_ref_pool(x, 2))
+        )
+    finally:
+        del os.environ["I2PNET_POOL_ALLTIES"]

@@ -90,3 +90,62 @@ def test_resnet_encoder_pyramid():
     assert c3.shape == (1, 8, 16, 8)
     assert c4.shape == (1, 4, 8, 16)
     assert c5.shape == (1, 2, 4, 16)
+
+
+def test_efgh_forward_and_guards(tiny_setup):
+    """EFGH online-calibration variant: with calib = K @ [I|0] (identity
+    extrinsic, camera-frame points) the efgh projection equals K3 @ the
+    normalized-plane uv — both the lidar uv and the pixel grid move to the
+    feature-pixel frame coherently — and the model runs end-to-end
+    (ref warp_utils.py:97-146; routing absent in the reference model, see
+    config.efgh)."""
+    import dataclasses
+
+    cfg, model, variables, (rgb, lidar, intrinsic) = tiny_setup
+    B = rgb.shape[0]
+    cfg_e = dataclasses.replace(cfg, efgh=True)
+    model_e = I2PNet(cfg_e)
+    calib = jnp.concatenate(
+        [intrinsic, jnp.zeros((B, 3, 1), jnp.float32)], axis=-1
+    )  # K @ [I|0]
+
+    v_e = model_e.init(
+        jax.random.key(0), rgb, lidar, intrinsic, calib=calib, train=False
+    )
+    # identical param trees: the efgh flag only reroutes the projections
+    assert jax.tree_util.tree_structure(v_e) == jax.tree_util.tree_structure(
+        variables
+    )
+    out = model_e.apply(v_e, rgb, lidar, intrinsic, calib=calib, train=False)
+    assert out["out3"].shape == (B, 7)
+    assert bool(jnp.isfinite(out["out3"]).all())
+
+    # geometry: project_with_calib under the scaled calib == K3 @ normalized
+    from i2pnet_tpu.models.i2pnet import change_intrinsic
+    from i2pnet_tpu.ops import quaternion as Q
+
+    H, W = rgb.shape[1:3]
+    h3, w3 = H // 8, W // 8  # tiny cfg: three stages, strides 4/4/2 -> /32?
+    # compute the true feature dims from the config instead of guessing
+    s = 1
+    for _, _, strides in cfg.rgb_encoder_channels:
+        for st in strides:
+            s *= st
+    h3, w3 = H // s, W // s
+    K3 = change_intrinsic(intrinsic, (h3, w3), (H, W))
+    scale = jnp.asarray([[w3 / W], [h3 / H], [1.0]], jnp.float32)
+    calib3 = calib * scale
+    uv_e, z_e = Q.project_with_calib(lidar, calib3)
+    uv_n, z_n = Q.project_to_normalized_plane(lidar)
+    want = jnp.einsum("bij,bnj->bni", K3, uv_n)
+    np.testing.assert_allclose(np.asarray(uv_e), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    # guards: calib required; masks excluded (ref train script :738-740)
+    with pytest.raises(ValueError):
+        model_e.apply(v_e, rgb, lidar, intrinsic, train=False)
+    cfg_bad = dataclasses.replace(cfg_e, use_projection_mask=True,
+                                  layer_mask=(True, True))
+    with pytest.raises(ValueError):
+        I2PNet(cfg_bad).apply(v_e, rgb, lidar, intrinsic, calib=calib,
+                              train=False)

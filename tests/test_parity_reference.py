@@ -306,6 +306,67 @@ def test_gradient_parity_with_reference():
     print(f"gradient parity: worst rel diff {worst[0]:.2e} at {worst[1]}")
 
 
+@pytest.mark.filterwarnings("ignore")
+def test_efgh_warp_parity_with_reference():
+    """Our warp_with_calib / project_with_calib vs the LIVE reference
+    warp_quat_EFGH / projection_initial_EFGH (ref
+    src/modules/warp_utils.py:97-146). The reference snapshot never routes
+    these into a model (its efgh branch is vestigial: the harness threads
+    data['calib'] but modellearn.py ignores it and no config defines the
+    flag), so op-level parity is the reference behavior available."""
+    sys.path.insert(0, REF)
+    _install_stubs()
+    from src.modules import warp_utils as W
+
+    import jax.numpy as jnp
+
+    from i2pnet_tpu.ops import quaternion as Q
+
+    rng = np.random.default_rng(11)
+    B, N = 3, 32
+    xyz = rng.uniform(-5, 5, size=(B, N, 3)).astype(np.float32)
+    xyz[..., 2] += 10.0
+    q = rng.normal(size=(B, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    t = rng.normal(size=(B, 3)).astype(np.float32)
+    calib = rng.normal(size=(B, 4, 4)).astype(np.float32) * 0.2
+    calib[:, 2, :3] = 0.0
+    calib[:, 2, 3] = 1.0  # keep z well-conditioned
+    calib[:, 3] = [0, 0, 0, 1]
+
+    # reference takes lidar as (B, 3, N) and t as a [0, t] 4-vector
+    t4 = np.concatenate([np.zeros((B, 1), np.float32), t], axis=1)
+    ref_uv, ref_z, _ = W.warp_quat_EFGH(
+        torch.from_numpy(xyz.transpose(0, 2, 1)),
+        torch.from_numpy(q),
+        torch.from_numpy(t4),
+        torch.from_numpy(calib[:, :3, :]),
+        None,
+    )
+    got_uv, got_z = Q.warp_with_calib(
+        jnp.asarray(xyz), jnp.asarray(q), jnp.asarray(t), jnp.asarray(calib)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_uv), ref_uv.numpy(), atol=2e-4, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_z)[..., 0], ref_z.numpy()[..., 0], atol=2e-4, rtol=2e-4
+    )
+
+    ref_uv0, ref_z0, _ = W.projection_initial_EFGH(
+        torch.from_numpy(xyz.transpose(0, 2, 1)),
+        torch.from_numpy(calib[:, :3, :]),
+        None,
+    )
+    got_uv0, got_z0 = Q.project_with_calib(jnp.asarray(xyz), jnp.asarray(calib))
+    np.testing.assert_allclose(
+        np.asarray(got_uv0), ref_uv0.numpy(), atol=2e-4, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_z0)[..., 0], ref_z0.numpy()[..., 0], atol=2e-4, rtol=2e-4
+    )
+
+
 def test_loss_parity_with_reference():
     """registration_loss == reference Get_loss (incl. the level-weight
     orientation: 1.6 on out4/coarse, 0.8 on out3/refined)."""

@@ -218,3 +218,112 @@ def test_proj_forward_parity_with_reference():
 
     np.testing.assert_allclose(got_out4, ref_out4, atol=5e-4, rtol=1e-3)
     np.testing.assert_allclose(got_out3, ref_out3, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_proj_gradient_parity_with_reference():
+    """d(Get_loss)/d(params) parity for the PROJECTION family (the round-2
+    gap: gradient parity existed only for free-point). Eval-mode graphs on
+    both sides; BatchStatsNorm layers still normalize by CURRENT batch
+    statistics (track_running_stats=False), so their stat gradients are
+    exercised too. Ref train20v2learn_wandb_proj.py:457-466 loss.backward();
+    grads converted with the same layout converter as the weights."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REF)
+    _install_stubs()
+
+    from compute_loss import Get_loss
+    from src.modellearn_proj_center import RegNet_v2
+
+    from i2pnet_tpu.config import I2PNetProjConfig
+    from i2pnet_tpu.losses import registration_loss
+    from i2pnet_tpu.models import I2PNetProj
+    from tools.convert_torch_checkpoint import convert_proj
+
+    cfg_ref = _RefProjTiny
+    torch.manual_seed(0)
+    ref_model = RegNet_v2(cfg=cfg_ref)
+    ref_model.eval()
+
+    rng = np.random.default_rng(0)
+    B, N, H, W = 2, 512, 64, 128
+    rgb = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+    raw = rng.normal(size=(B, N, 3)).astype(np.float32) * 10
+    raw[:, 400:] = 0.0
+    from scipy.spatial.transform import Rotation
+
+    Rm = Rotation.from_euler("y", 0.2).as_matrix().astype(np.float32)
+    lidar = raw @ Rm.T + np.array([1.0, 0, 0.5], np.float32)
+    lidar = lidar * (np.sum(raw**2, -1, keepdims=True) > 0)
+    intrinsic = np.tile(
+        np.array([[[64.0, 0, 64], [0, 64.0, 32], [0, 0, 1]]], np.float32),
+        (B, 1, 1),
+    )
+    q_gt = np.tile(np.array([[0.9988, 0.0, 0.0499, 0.0]], np.float32), (B, 1))
+    t_gt = np.tile(np.array([[0.5, -0.2, 0.1]], np.float32), (B, 1))
+
+    out = ref_model(
+        torch.from_numpy(rgb).permute(0, 3, 1, 2),
+        torch.from_numpy(lidar),
+        torch.from_numpy(raw),
+        None,
+        torch.from_numpy(intrinsic),
+        None,
+        cfg=cfg_ref,
+    )
+    ref_loss, _, _ = Get_loss(
+        out[0], out[1], torch.from_numpy(q_gt), torch.from_numpy(t_gt),
+        out[4], out[5], cfg_ref,
+    )
+    ref_model.zero_grad()
+    ref_loss.backward()
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    named_params = dict(ref_model.named_parameters())
+    grad_sd = {
+        k: (named_params[k].grad.numpy()
+            if k in named_params and named_params[k].grad is not None
+            else np.zeros_like(v))
+        for k, v in sd.items()
+    }
+    want_grads = convert_proj(grad_sd)["params"]
+
+    variables = convert_proj(sd)
+    cfg = I2PNetProjConfig.tiny()
+    model = I2PNetProj(cfg)
+
+    def loss_fn(params):
+        o = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(rgb), jnp.asarray(lidar), jnp.asarray(raw),
+            jnp.asarray(intrinsic), train=False,
+        )
+        loss, _, _ = registration_loss(
+            o["out3"], o["out4"], jnp.asarray(q_gt), jnp.asarray(t_gt),
+            o["sx"], o["sq"], l1_trans=True,
+        )
+        return loss
+
+    loss, got_grads = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+
+    flat_got = jax.tree_util.tree_leaves_with_path(got_grads)
+    flat_want = dict(jax.tree_util.tree_leaves_with_path(
+        jax.tree_util.tree_map(jnp.asarray, want_grads)))
+    assert flat_want.keys() == dict(flat_got).keys()
+    worst = (0.0, None)
+    for path, g in flat_got:
+        w = np.asarray(flat_want[path])
+        g = np.asarray(g)
+        # scale floor 1e-2 (vs 1e-3 in the free-point test): the proj
+        # graph's longer reduction chains leave ~1e-5 absolute roundoff on
+        # near-zero leaves (e.g. layer_idx biases with |g|max < 1e-3),
+        # which is noise, not layout error — bound those by absolute 5e-5
+        scale = max(np.abs(w).max(), 1e-2)
+        rel = np.abs(g - w).max() / scale
+        if rel > worst[0]:
+            worst = (rel, jax.tree_util.keystr(path))
+        assert rel < 5e-3, (jax.tree_util.keystr(path), rel, scale)
+    print(f"proj gradient parity: worst rel diff {worst[0]:.2e} at {worst[1]}")

@@ -55,11 +55,28 @@ def test_train_step_decreases_loss():
     assert losses[-1] < losses[0], losses
 
 
-def test_dryrun_multichip_8():
+def test_dryrun_multichip_8(monkeypatch):
     import __graft_entry__
 
     assert len(jax.devices()) >= 8  # conftest forces 8 virtual CPU devices
+    # full-shape compile is covered by test_dryrun_multichip_full_shapes
+    # (--run-slow) and the driver run; keep the default suite fast
+    monkeypatch.setenv("I2PNET_SKIP_FULL_DRYRUN", "1")
     __graft_entry__.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(
+    "not config.getoption('--run-slow', default=False)",
+    reason="~4 min of production-shape XLA compile on this 1-core box "
+    "(the driver's dryrun_multichip also runs it each round)",
+)
+def test_dryrun_multichip_full_shapes():
+    """The SHIPPED configs must lay out on an 8-device mesh (compile-only,
+    production shapes) — the recorded-artifact version of what PARITY.md
+    used to claim as prose."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip_full(8)
 
 
 @pytest.mark.skipif(

@@ -98,3 +98,58 @@ def test_depth_image_nearest_wins():
     # both project to the principal point (64, 32); nearest (z=2) wins
     assert d[32, 64] == 2.0
     assert (d > 0).sum() == 1
+
+
+def test_realloc_vis_dataset_and_real_demo(tmp_path):
+    """REAL_DATA frame reading + the real-data vis demo
+    (ref evaluation_vis.py:283-293 realloc branch, dataset_params.py:156)."""
+    import sys
+
+    from PIL import Image
+
+    from i2pnet_tpu.data.params import REAL_DATA
+    from i2pnet_tpu.data.realloc import REALLOC_K, RealLocVisDataset
+
+    assert REAL_DATA["test"]["root_path"].endswith("real_localize")
+
+    root = tmp_path / "real_localize"
+    rng = np.random.default_rng(0)
+    for seq, ts in [("00", "1690000000.1"), ("00", "1690000001.2")]:
+        vdir = root / "sequences" / seq / "velodyne"
+        idir = root / "sequences" / seq / "images"
+        vdir.mkdir(parents=True, exist_ok=True)
+        idir.mkdir(parents=True, exist_ok=True)
+        pts = rng.uniform(-10, 10, size=(200, 4)).astype(np.float32)
+        pts[:, 2] += 15.0
+        pts.tofile(vdir / f"{ts}.bin")
+        Image.fromarray(
+            rng.integers(0, 255, size=(64, 96, 3), dtype=np.uint8)
+        ).save(idir / f"{ts}.jpg")
+
+    ds = RealLocVisDataset(str(root))
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["pcl"].shape == (200, 3) and s["img"].shape == (64, 96, 3)
+    np.testing.assert_array_equal(s["K"], REALLOC_K)
+
+    # prediction.txt in the Evaluator's section format
+    E = np.hstack([np.eye(3), np.array([[0.1], [0.0], [0.5]])])
+    row = " ".join(f"{v:.6f}" for v in E.ravel())
+    pred = tmp_path / "prediction.txt"
+    pred.write_text(
+        "\n".join(
+            ["# section 0"]
+            + [f"{k} {row}" for _ in range(2) for k in ("init", "pred", "gt")]
+        )
+        + "\n"
+    )
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from render_real_demo import render_real_demo
+
+    out = tmp_path / "frames"
+    n = render_real_demo(str(root), str(pred), str(out), video="demo.gif")
+    assert n == 2
+    pngs = [f for f in os.listdir(out) if f.endswith(".png")]
+    assert len(pngs) == 2
+    assert (out / "demo.gif").exists()
