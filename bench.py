@@ -96,7 +96,9 @@ def bench_free_point_forward():
     step = jax.jit(make_train_step(model, cfg), donate_argnums=(0,))
     state, m = step(state, batch, jax.random.key(0))  # warmup / compile
     sync(m["loss"])
-    iters = 10
+    # 20 iters: 10-iteration windows showed ~10% host-dispatch noise
+    # (BASELINE.md round-3 methodology note)
+    iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
         state, m = step(state, batch, jax.random.key(i))
@@ -147,6 +149,7 @@ def bench_proj_forward():
     step = jax.jit(make_train_step_proj(model, cfg), donate_argnums=(0,))
     state, m = step(state, batch, jax.random.key(0))  # warmup / compile
     sync(m["loss"])
+    iters = 20  # see free-point train comment
     t0 = time.perf_counter()
     for i in range(iters):
         state, m = step(state, batch, jax.random.key(i))

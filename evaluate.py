@@ -40,6 +40,10 @@ def parse_args(argv=None):
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--analyze", action="store_true")
+    p.add_argument("--efgh", action="store_true",
+                   help="online-calibration EFGH variant (kitti dataset, "
+                        "free-point network): thread data['calib'] through "
+                        "the forward (ref evaluation.py:354-356)")
     p.add_argument("--knn_mode", default="exact", choices=["exact", "approx"],
                    help="level-1 KNN at eval: exact (default — reported "
                         "metrics carry no approximation; measured ~86 vs "
@@ -105,6 +109,7 @@ def main(argv=None):
             pp["base_path"], pp["date"], pp["drives"], d_rot=pp["d_rot"],
             d_trans=pp["d_trans"], fixed_decalib=True,
             resize_w=pp["resize_w"], resize_h=pp["resize_h"], seed=args.seed,
+            emit_calib=getattr(args, "efgh", False),
         )
     elif args.dataset in ("nus_cmr_snr", "nus_corr_nolidar"):
         import glob as _g
@@ -144,7 +149,11 @@ def main(argv=None):
     if proj:
         variables = model.init(jax.random.key(0), rgb, lidar, raw, intr, train=False)
     else:
-        variables = model.init(jax.random.key(0), rgb, lidar, intr, train=False)
+        init_kw = {}
+        if sample.get("calib") is not None:
+            init_kw["calib"] = jnp.asarray(sample["calib"])[None]
+        variables = model.init(jax.random.key(0), rgb, lidar, intr,
+                               train=False, **init_kw)
     if hasattr(test_ds, "rng"):
         test_ds.rng = np.random.default_rng(args.seed)
 

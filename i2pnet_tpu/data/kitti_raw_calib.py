@@ -62,13 +62,23 @@ class KittiRawCalibDataset:
         sample_point: int = 8192,
         seed: int = 0,
         pc_filter: bool = True,
+        emit_calib: bool = False,
     ):
+        """emit_calib: additionally emit a per-sample 'calib' (3, 4)
+        projection matrix (resized K @ [I|0]) for the efgh model variant.
+        The reference's own efgh dataset files (kitti_odometry_efgh*,
+        imported by evaluation.py:123-127) are absent from its snapshot;
+        this reproduces the efgh INTERFACE — a full projection matrix
+        threaded per sample (ref train20v2learn_wandb.py:741-745) — with
+        camera-frame anchoring so the decalibration ground truth keeps its
+        reference semantics."""
         self.d_rot = d_rot
         self.d_trans = d_trans
         self.fixed_decalib = fixed_decalib
         self.resize_w, self.resize_h = resize_w, resize_h
         self.sample_point = sample_point
         self.pc_filter = pc_filter
+        self.emit_calib = emit_calib
         self.rng = np.random.default_rng(seed)
 
         self.img_path, self.lidar_path = [], []
@@ -172,7 +182,7 @@ class KittiRawCalibDataset:
         rgb_img = T.resize_image(rgb_img, self.resize_w, self.resize_h)
         rgb = T.normalize_image(rgb_img, imagenet=True)
 
-        return {
+        out = {
             "rgb": rgb,
             "decalib_real_gt": decalib_q,
             "decalib_dual_gt": decalib_t,
@@ -186,6 +196,11 @@ class KittiRawCalibDataset:
             "index": index,
             "path_info": self.lidar_path[index],
         }
+        if self.emit_calib:
+            out["calib"] = np.hstack(
+                [intrinsic, np.zeros((3, 1))]
+            ).astype(np.float32)
+        return out
 
 
 class KittiRGGDataset(KittiRawCalibDataset):

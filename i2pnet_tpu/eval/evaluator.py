@@ -50,7 +50,8 @@ class Evaluator:
         self.tag = tag
         os.makedirs(log_dir, exist_ok=True)
 
-        def forward(params, batch_stats, rgb, lidar, raw_xyz, intrinsic, feats):
+        def forward(params, batch_stats, rgb, lidar, raw_xyz, intrinsic,
+                    feats, calib=None):
             variables = {"params": params, "batch_stats": batch_stats}
             if proj:
                 out = self.model.apply(
@@ -58,9 +59,12 @@ class Evaluator:
                     lidar_feature=feats, train=False,
                 )
             else:
+                # calib: efgh online-calibration projection matrix
+                # (ref evaluation.py:354-356 threads data['calib'])
                 out = self.model.apply(
                     variables, rgb, lidar, intrinsic,
-                    lidar_feature=feats, raw_xyz=raw_xyz, train=False,
+                    lidar_feature=feats, raw_xyz=raw_xyz, calib=calib,
+                    train=False,
                 )
             return out["out3"], out["out4"]
 
@@ -89,6 +93,7 @@ class Evaluator:
             raw_xyz = jnp.asarray(mb.get("raw_xyz", mb["lidar"]))
             intrinsic = jnp.asarray(mb["intrinsic"])
             feats = jnp.asarray(mb["lidar_feats"]) if "lidar_feats" in mb else None
+            calib = jnp.asarray(mb["calib"]) if "calib" in mb else None
 
             t0 = time.perf_counter()
             out3 = None
@@ -96,7 +101,8 @@ class Evaluator:
             cur_lidar = lidar
             for params, bstats in zip(self.params_list, self.batch_stats_list):
                 out3_s, out4_s = self._forward(
-                    params, bstats, rgb, cur_lidar, raw_xyz, intrinsic, feats
+                    params, bstats, rgb, cur_lidar, raw_xyz, intrinsic,
+                    feats, calib
                 )
                 if q_acc is None:
                     q_acc, t_acc = out3_s[:, :4], out3_s[:, 4:]

@@ -258,6 +258,20 @@ def test_kitti_raw_calib(raw_root):
     velo_rec = (corr @ init4)[:3]
     np.testing.assert_allclose(velo_rec, ds.velo_extrinsic, atol=1e-5)
 
+    # efgh variant: emit_calib adds the per-sample projection matrix
+    # resized-K @ [I|0] (the reference's own efgh dataset files are absent
+    # from its snapshot; see KittiRawCalibDataset.__init__)
+    ds_e = KittiRawCalibDataset(
+        raw_root, "2011_09_26", [5], d_rot=10, d_trans=1.0,
+        fixed_decalib=False, sample_point=4096, seed=0, emit_calib=True,
+    )
+    se = ds_e[0]
+    assert se["calib"].shape == (3, 4)
+    np.testing.assert_allclose(se["calib"][:, :3], se["init_intrinsic"],
+                               atol=1e-6)
+    np.testing.assert_array_equal(se["calib"][:, 3], 0.0)
+    assert "calib" not in s
+
 
 def test_generate_rgg_splits_and_dataset(raw_root, tmp_path):
     """RGG protocol: split generation (ref generate_rgg.py:94-191) feeds the
@@ -449,3 +463,46 @@ def test_raw_calib_real_format_files(tmp_path):
     np.testing.assert_allclose(
         rc.extrinsic[:, 3], np.asarray(cam["trans"]).ravel(), atol=2e-5
     )
+
+
+def test_evaluator_efgh_end_to_end(raw_root, tmp_path):
+    """Online-calibration EFGH eval: the raw loader emits data['calib'],
+    the Evaluator threads it through the efgh forward, and the protocol
+    artifacts come out (ref evaluation.py:354-356 + the efgh dataset
+    branch that is vestigial upstream)."""
+    import dataclasses
+
+    import jax
+
+    from i2pnet_tpu.config import I2PNetConfig
+    from i2pnet_tpu.data import KittiRawCalibDataset
+    from i2pnet_tpu.data.pipeline import BatchLoader
+    from i2pnet_tpu.eval import Evaluator
+    from i2pnet_tpu.models import I2PNet
+
+    cfg = dataclasses.replace(I2PNetConfig.tiny(), efgh=True)
+    model = I2PNet(cfg)
+    ds = KittiRawCalibDataset(
+        raw_root, "2011_09_26", [5], d_rot=5, d_trans=0.5,
+        fixed_decalib=True, resize_w=128, resize_h=64,
+        sample_point=cfg.lidar_in_points, seed=0, emit_calib=True,
+    )
+    s = ds[0]
+    import jax.numpy as jnp
+
+    variables = model.init(
+        jax.random.key(0),
+        jnp.asarray(s["rgb"])[None],
+        jnp.asarray(s["lidar"])[None],
+        jnp.asarray(s["init_intrinsic"])[None],
+        calib=jnp.asarray(s["calib"])[None],
+        train=False,
+    )
+    ds.rng = np.random.default_rng(0)  # template fetch consumed draws
+
+    log_dir = str(tmp_path / "efgh_eval")
+    ev = Evaluator(model, cfg, [variables["params"]],
+                   [variables["batch_stats"]], proj=False, log_dir=log_dir)
+    summary = ev.validate(BatchLoader(ds, 2, shuffle=False, drop_last=False))
+    assert np.isfinite(summary["rre_mean"]) and np.isfinite(summary["rte_mean"])
+    assert os.path.exists(os.path.join(log_dir, "prediction.txt"))

@@ -282,6 +282,31 @@ def test_gt_mask_flag_computes_labels_inside_step():
                                np.asarray(out_hand["out3"]), rtol=1e-6)
 
 
+def test_efgh_train_step_threads_calib():
+    """cfg.efgh + batch['calib'] flow through the jitted train step
+    (ref train20v2learn_wandb.py:741-751 threads data['calib'])."""
+    import dataclasses
+
+    cfg = dataclasses.replace(I2PNetConfig.tiny(), efgh=True)
+    model = I2PNet(cfg)
+    batch = _synthetic_batch(cfg)
+    B = batch["rgb"].shape[0]
+    batch["calib"] = jnp.concatenate(
+        [batch["intrinsic"], jnp.zeros((B, 3, 1), jnp.float32)], axis=-1
+    )
+    variables = model.init(
+        jax.random.key(0), batch["rgb"], batch["lidar"], batch["intrinsic"],
+        calib=batch["calib"], train=False,
+    )
+    state = create_train_state(model, variables, lr=1e-3, steps_per_epoch=10)
+    step = jax.jit(make_train_step(model, cfg), donate_argnums=(0,))
+    losses = []
+    for i in range(3):
+        state, m = step(state, batch, jax.random.key(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0], losses
+
+
 def test_timings_profiler():
     from i2pnet_tpu.utils import Timings
 

@@ -249,6 +249,23 @@ def run_proj(f64: bool = False):
     ref_model.eval()
     if f64:
         ref_model.double()
+        # the reference hard-casts intermediates with .float()
+        # (modellearn_proj_center.py:222,247,416); redirect those to double
+        # for this measurement so the whole torch graph runs in f64, and
+        # let float factory calls (torch.zeros/ones/...) default to f64
+        torch.Tensor.float = lambda self: self.to(torch.float64)
+        torch.set_default_dtype(torch.float64)
+        # projectPN/utils.py allocates with explicit dtype=torch.float32
+        # (project_seq:169-171); upgrade those too
+        for _name in ("zeros", "ones", "empty", "full"):
+            _orig = getattr(torch, _name)
+
+            def _wrap(*a, _orig=_orig, **k):
+                if k.get("dtype") == torch.float32:
+                    k["dtype"] = torch.float64
+                return _orig(*a, **k)
+
+            setattr(torch, _name, _wrap)
 
     rng = np.random.default_rng(1)
     B, N, H, W = 1, 150000, 160, 512

@@ -55,6 +55,12 @@ def parse_args(argv=None):
                    help="loss composition: registration+mask, registration "
                         "only, or mask-classification only (ref "
                         "train20v2learn_wandb.py --train_target)")
+    p.add_argument("--efgh", action="store_true",
+                   help="online-calibration EFGH variant: thread a per-"
+                        "sample full projection matrix (data['calib']) "
+                        "through the free-point model (ref "
+                        "train20v2learn_wandb.py:741-745; kitti dataset "
+                        "only)")
     return p.parse_args(argv)
 
 
@@ -74,7 +80,13 @@ def build(args):
     else:
         cfg = I2PNetConfig.tiny() if args.tiny else I2PNetConfig()
         cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
+        if getattr(args, "efgh", False):
+            cfg = dataclasses.replace(cfg, efgh=True)
         model = I2PNet(cfg)
+    if getattr(args, "efgh", False) and (proj or args.dataset != "kitti"):
+        raise SystemExit("--efgh needs the free-point network and "
+                         "--dataset kitti (the online-calibration loader "
+                         "is the one that emits data['calib'])")
 
     from i2pnet_tpu.data import (
         KittiLargeRangeDataset,
@@ -117,6 +129,7 @@ def build(args):
             pp["base_path"], pp["date"], pp["drives"], d_rot=pp["d_rot"],
             d_trans=pp["d_trans"], fixed_decalib=pp["fixed_decalib"],
             resize_w=pp["resize_w"], resize_h=pp["resize_h"], seed=args.seed,
+            emit_calib=getattr(args, "efgh", False),
         )
         valid_ds = None
     elif args.dataset == "nus_cmr_snr":
