@@ -132,7 +132,7 @@ def bench_proj_forward():
     fwd = jax.jit(
         lambda v, r, l, w, i: model.apply(v, r, l, w, i, train=False)["out3"]
     )
-    iters = 10
+    iters = 20  # >= 20 iters per the round-3 timing rule (CLAUDE.md)
     dt = time_fn(fwd, (variables, rgb, lidar, raw, intr), iters)
     fwd_pairs = BATCH * iters / dt
 

@@ -108,9 +108,11 @@ class I2PNetConfig:
     # — kept as a knob for larger models/batches where residuals spill
     encoder_remat: bool = False
     # apply BN normalization in compute_dtype (stats stay f32); halves the
-    # encoder's BN-chain residual traffic when compute_dtype=bfloat16.
-    # Measured: train step 121.0 -> 110.0 ms on v5e (BASELINE.md round-3).
-    # No effect at compute_dtype=float32 (the parity default).
+    # encoder's BN-chain residual footprint when compute_dtype=bfloat16.
+    # Measured NEUTRAL on step time at the shipped shapes (quiet-host
+    # 30-iter runs: 105.1 vs 104.8 ms — BASELINE.md round-3); kept default
+    # for the smaller residual memory. No effect at compute_dtype=float32
+    # (the parity default).
     encoder_bn_compute_dtype: bool = True
 
     # --- loss (ref :96-103)

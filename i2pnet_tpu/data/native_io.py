@@ -26,46 +26,60 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    # rebuild only when the source is newer than the .so (loading a stale
-    # binary silently runs old kernels), under an flock so concurrent
+    # Rebuild when any build input (i2pnet_io.cpp, Makefile, headers) is
+    # newer than the .so — loading a stale binary silently runs old
+    # kernels. All file access goes through an flock so concurrent
     # first-touch (forked data workers, parallel eval jobs sharing the
-    # repo) cannot race the rebuild and dlopen a half-written library; if
-    # the toolchain is absent but a prebuilt .so exists, fall through
-    src = os.path.join(os.path.abspath(_NATIVE_DIR), "i2pnet_io.cpp")
-    try:
-        stale = (not os.path.exists(_LIB_PATH)) or (
-            os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
-        )
-    except OSError:
-        stale = True
-    if stale:
-        try:
-            import fcntl
+    # repo) cannot race a rebuild and dlopen a half-written library:
+    # rebuilders hold LOCK_EX; loaders hold LOCK_SH for the dlopen, so a
+    # reader can never observe the linker's truncate-then-write window.
+    native_dir = os.path.abspath(_NATIVE_DIR)
 
-            lock_path = os.path.join(os.path.abspath(_NATIVE_DIR), ".build.lock")
-            with open(lock_path, "w") as lock:
-                fcntl.flock(lock, fcntl.LOCK_EX)
-                try:
-                    # re-check under the lock: another process may have
-                    # finished the rebuild while we waited
-                    fresh = os.path.exists(_LIB_PATH) and (
-                        os.path.getmtime(src) <= os.path.getmtime(_LIB_PATH)
-                    )
-                    if not fresh:
+    def _stale() -> bool:
+        if not os.path.exists(_LIB_PATH):
+            return True
+        try:
+            lib_m = os.path.getmtime(_LIB_PATH)
+            for fn in os.listdir(native_dir):
+                if fn.endswith((".cpp", ".cc", ".h", ".hpp")) or fn == "Makefile":
+                    if os.path.getmtime(os.path.join(native_dir, fn)) > lib_m:
+                        return True
+        except OSError:
+            return True
+        return False
+
+    lib = None
+    try:
+        import fcntl
+
+        lock_path = os.path.join(native_dir, ".build.lock")
+        with open(lock_path, "w") as lock:
+            shared = not _stale()
+            fcntl.flock(lock, fcntl.LOCK_SH if shared else fcntl.LOCK_EX)
+            try:
+                # re-check under the lock: another process may have
+                # finished (or started needing) a rebuild while we waited
+                if _stale():
+                    if shared:  # upgrade; flock re-acquires, no deadlock
+                        fcntl.flock(lock, fcntl.LOCK_EX)
+                    if _stale():  # a concurrent upgrader may have built it
                         subprocess.run(
-                            ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                            ["make", "-C", native_dir],
                             check=True,
                             capture_output=True,
                             timeout=120,
                         )
-                finally:
-                    fcntl.flock(lock, fcntl.LOCK_UN)
-        except Exception:
-            if not os.path.exists(_LIB_PATH):
-                return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
+                lib = ctypes.CDLL(_LIB_PATH)
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+    except Exception:
+        # toolchain/lock unavailable: fall back to a best-effort load of
+        # whatever binary exists
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+    if lib is None:
         return None
 
     f32p = ctypes.POINTER(ctypes.c_float)

@@ -185,10 +185,17 @@ def warp_with_calib(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Warp by (q, t), then project through a (B, 3or4, 4) calib matrix to
     the normalized plane (ref warp_utils.py:97-131 warp_quat_EFGH:
-    calib @ (q p q' + t) then divide by z)."""
+    calib @ (q p q' + t) then divide by z).
+
+    HIGHEST: TPU matmuls default to bf16; a bf16 calib product would shift
+    projected pixel coordinates by ~0.4% relative (CLAUDE.md rule), moving
+    cost-volume neighbor sets off the CPU-verified geometry."""
+    import jax
+
     warped = warp_points(xyz, q, t)
     cam = jnp.einsum(
-        "bij,bnj->bni", calib[:, :3, :3], warped
+        "bij,bnj->bni", calib[:, :3, :3], warped,
+        precision=jax.lax.Precision.HIGHEST,
     ) + calib[:, None, :3, 3]
     z = cam[..., 2:3]
     return cam / (z + _EPS), z
@@ -198,9 +205,14 @@ def project_with_calib(
     xyz: jnp.ndarray, calib: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Project through a calib matrix without a warp
-    (ref warp_utils.py:133-146 projection_initial_EFGH)."""
+    (ref warp_utils.py:133-146 projection_initial_EFGH).
+
+    HIGHEST: same bf16-matmul-precision rationale as warp_with_calib."""
+    import jax
+
     cam = jnp.einsum(
-        "bij,bnj->bni", calib[:, :3, :3], xyz
+        "bij,bnj->bni", calib[:, :3, :3], xyz,
+        precision=jax.lax.Precision.HIGHEST,
     ) + calib[:, None, :3, 3]
     z = cam[..., 2:3]
     return cam / (z + _EPS), z

@@ -125,8 +125,7 @@ def test_efgh_forward_and_guards(tiny_setup):
     from i2pnet_tpu.ops import quaternion as Q
 
     H, W = rgb.shape[1:3]
-    h3, w3 = H // 8, W // 8  # tiny cfg: three stages, strides 4/4/2 -> /32?
-    # compute the true feature dims from the config instead of guessing
+    # feature dims from the config's pool strides
     s = 1
     for _, _, strides in cfg.rgb_encoder_channels:
         for st in strides:
