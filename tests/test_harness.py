@@ -129,6 +129,40 @@ def test_trainer_extra_splits_and_mask_acc(synth_root, tmp_path):
     assert trainer.extra_best["af_"]["rotation"] < np.inf
 
 
+def test_trainer_with_multiprocess_workers(synth_root, tmp_path):
+    """Trainer end-to-end with num_workers=2: the persistent forked pool
+    feeds the jitted step across TWO epochs (pool reuse after the JAX
+    runtime is live in the parent), and a repeat run is bit-for-bit
+    reproducible (the multiprocess path reseeds augmentation per
+    (seed, epoch, batch) — deterministic for a given seed, though a
+    DIFFERENT legitimate stream than the sequential single-thread rng)."""
+    from i2pnet_tpu.config import I2PNetConfig
+    from i2pnet_tpu.models import I2PNet
+    from i2pnet_tpu.train.trainer import Trainer
+
+    cfg = I2PNetConfig.tiny()
+
+    def run(num_workers, tag):
+        model = I2PNet(cfg)
+        train_ds, valid_ds = _make_datasets(synth_root, cfg)
+        trainer = Trainer(
+            model, cfg, train_ds, valid_ds,
+            log_dir=str(tmp_path / f"run_{tag}"),
+            batch_size=2, epochs=2, seed=0, save_rate=1,
+            num_workers=num_workers,
+        )
+        trainer.train()
+        val = trainer.validate()
+        trainer.train_loader.close()
+        return val
+
+    v2a = run(2, "w2a")
+    assert np.isfinite(v2a["rre_mean"]) and np.isfinite(v2a["rte_mean"])
+    v2b = run(2, "w2b")
+    assert v2a["rre_mean"] == v2b["rre_mean"], (v2a, v2b)
+    assert v2a["rte_mean"] == v2b["rte_mean"]
+
+
 def test_trainer_gt_mask_delay_anneals_in_real_run(synth_root, tmp_path):
     """mask_delay=True must actually anneal gt->pred masks over a real
     Trainer.train() run: no gt_project is ever hand-passed — the step
