@@ -20,12 +20,71 @@ Covers the reference's projectPN primitives:
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 _INVALID_DIST = 1e10
+
+
+def _patches_eligible(out_h, out_w, qstride, stride, kernel_size, h2, w2,
+                      shift) -> bool:
+    """Eligibility for the OPT-IN im2col candidate path: window centers at
+    i * qstride (stride == 1) with cylindrical W wrap, and the conv output
+    geometry lands exactly on (out_h, out_w).
+
+    MEASURED NEGATIVE in situ (BASELINE.md round-3 proj-forward attack):
+    standalone the im2col select is 3.6x faster than the shifted-takes
+    builder (18 -> 5 ms), but inside the full jitted proj model it LOSES
+    (fwd 159.0 -> 152.9 pairs/s, train 79.7 -> 69.2) — XLA fuses the
+    strided-slice takes into their consumers, while conv_patches
+    materializes the (B, N, C*khw) stack and its backward adds a
+    transpose-conv over the wrap-concat. Kept behind I2PNET_GRID_PATCHES=1
+    (equality-tested) in case future shapes/compilers change the tradeoff."""
+    if os.environ.get("I2PNET_GRID_PATCHES") != "1":
+        return False
+    if stride != (1, 1) or not shift:
+        return False
+    kh, kw = kernel_size
+    oh = (h2 + (kh // 2) + (kh - 1 - kh // 2) - kh) // qstride[0] + 1
+    ow = (w2 + (kw - 1) - kw) // qstride[1] + 1
+    return oh == out_h and ow == out_w
+
+
+def _patches_candidates(
+    src: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+    qstride: Tuple[int, int],
+    kernel_size: Tuple[int, int],
+) -> jnp.ndarray:
+    """Candidate stack (B, out_h*out_w, C, khw) via ONE XLA im2col
+    (conv_general_dilated_patches, NHWC in/out — TPU's native conv
+    layout) instead of kh*kw shifted strided-slice takes + a 6-D
+    transpose. The khw axis lands MINOR, so the caller's distance
+    reduction needs no relayout and the K-gather runs along the minor
+    axis (the fast take_along pattern).
+
+    Cylindrical W wrap (FLAG_SHIFT) via edge-strip concat; out-of-bounds H
+    rows become EXACT zeros, which the caller's q_valid test rejects just
+    as the take-path's in_bounds mask does (identical d_masked values).
+    """
+    B, h2, w2, C = src.shape
+    kh, kw = kernel_size
+    x = jnp.concatenate(
+        [src[:, :, w2 - (kw // 2):], src, src[:, :, : kw - 1 - kw // 2]],
+        axis=2,
+    )
+    p = jax.lax.conv_general_dilated_patches(
+        x,
+        (kh, kw),
+        window_strides=qstride,
+        padding=((kh // 2, kh - 1 - kh // 2), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (B, out_h, out_w, C*kh*kw); channels laid out as (C, kh, kw)
+    return p.reshape(B, out_h * out_w, C, kh * kw)
 
 
 def check_valid(xyz: jnp.ndarray) -> jnp.ndarray:
@@ -346,13 +405,30 @@ def window_neighbor_select_grid(
     ).reshape(B, N, 3)
     center_valid = jnp.sum(center * center, axis=-1) > 1e-10
 
-    cand, in_bounds = window_candidates(
-        xyz2, out_h, out_w, qstride, stride, kernel_size, shift
-    )
-    q_valid = jnp.sum(cand * cand, axis=-1) > 1e-10
-    d = jnp.maximum(jnp.sum((center[:, :, None, :] - cand) ** 2, axis=-1), 1e-10)
-    valid = in_bounds[None] & q_valid & (d <= distance * distance)
-    d_masked = jnp.where(valid, d, _INVALID_DIST)
+    h2, w2 = xyz2.shape[1:3]
+    if _patches_eligible(out_h, out_w, qstride, stride, kernel_size,
+                         h2, w2, shift):
+        # im2col fast path: candidates arrive as (B, N, C, khw) with khw
+        # minor — distances reduce over C with no relayout and top_k runs
+        # directly on the (B, N, khw) plane
+        cand_t = _patches_candidates(xyz2, out_h, out_w, qstride, kernel_size)
+        center_t = center[:, :, :, None]  # (B, N, 3, 1)
+        d_masked = jnp.maximum(
+            jnp.sum((center_t - cand_t) ** 2, axis=2), 1e-10
+        )  # (B, N, khw)
+        q_valid_t = jnp.sum(cand_t * cand_t, axis=2) > 1e-10
+        valid_t = q_valid_t & (d_masked <= distance * distance)
+        d_masked = jnp.where(valid_t, d_masked, _INVALID_DIST)
+    else:
+        cand, in_bounds = window_candidates(
+            xyz2, out_h, out_w, qstride, stride, kernel_size, shift
+        )
+        q_valid = jnp.sum(cand * cand, axis=-1) > 1e-10
+        d = jnp.maximum(
+            jnp.sum((center[:, :, None, :] - cand) ** 2, axis=-1), 1e-10
+        )
+        valid = in_bounds[None] & q_valid & (d <= distance * distance)
+        d_masked = jnp.where(valid, d, _INVALID_DIST)
 
     khw = d_masked.shape[-1]
     if K > khw:
@@ -390,13 +466,31 @@ def select_window_features(
     candidates: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Gather grid features for window selections: build the candidate stack
-    by slices (+ the pixel-(0,0) sentinel slot at index kh*kw), then
-    take_along the (small) window axis. Returns (B,N,K,C)."""
+    (+ the pixel-(0,0) sentinel slot at index kh*kw), then take_along the
+    (small) window axis. Returns (B,N,K,C).
+
+    With I2PNET_GRID_PATCHES=1 (opt-in; measured negative in situ, see
+    _patches_eligible) eligible shapes use the im2col candidate builder and
+    gather along its minor khw axis instead."""
+    B, h2, w2, C = feat_grid.shape
+    N = out_h * out_w
+    if candidates is None and _patches_eligible(
+        out_h, out_w, qstride, stride, kernel_size, h2, w2, shift
+    ):
+        cand_t = _patches_candidates(
+            feat_grid, out_h, out_w, qstride, kernel_size
+        )  # (B, N, C, khw)
+        zero_pix = jnp.broadcast_to(
+            feat_grid[:, 0, 0, :].reshape(B, 1, C, 1), (B, N, C, 1)
+        )
+        cand_t = jnp.concatenate([cand_t, zero_pix], axis=3)
+        idx = args[:, :, None, :]  # (B, N, 1, K)
+        picked = jnp.take_along_axis(cand_t, idx, axis=3)  # (B, N, C, K)
+        return jnp.swapaxes(picked, 2, 3)  # (B, N, K, C)
     if candidates is None:
         candidates, _ = window_candidates(
             feat_grid, out_h, out_w, qstride, stride, kernel_size, shift
         )
-    B, N = candidates.shape[:2]
     zero_pix = jnp.broadcast_to(
         feat_grid[:, 0:1, 0:1, :].reshape(B, 1, 1, -1),
         (B, N, 1, candidates.shape[-1]),

@@ -3,6 +3,7 @@ kernel (fused_conv_go.cu) and the project_seq semantics."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from i2pnet_tpu.ops import projection as PR
 
@@ -204,9 +205,12 @@ def test_grid_helpers():
     np.testing.assert_array_equal(v[..., 0], [[0.0, 1.0]])
 
 
-def test_grid_window_select_matches_generic():
+@pytest.mark.parametrize("patches", ["0", "1"])
+def test_grid_window_select_matches_generic(patches, monkeypatch):
     """The slice-structured fast path must match the generic gather path
-    (same masks; same selected features wherever mask=1)."""
+    (same masks; same selected features wherever mask=1) — with and without
+    the opt-in im2col candidate builder (I2PNET_GRID_PATCHES)."""
+    monkeypatch.setenv("I2PNET_GRID_PATCHES", patches)
     rng = np.random.default_rng(9)
     B, H, W = 2, 8, 16
     xyz = rng.normal(size=(B, H, W, 3)).astype(np.float32)

@@ -160,5 +160,74 @@ def main():
     }), flush=True)
 
 
+def pyramid_prefixes():
+    """Time pyramid prefixes (projection+lv1, +lv2, ...) to locate the
+    dominant level. Run via: python tools/decompose_proj_forward.py levels
+    """
+    cfg = I2PNetProjConfig()
+    model = I2PNetProj(cfg)
+    rng = np.random.default_rng(0)
+    B, N = BATCH, 150000
+    raw_np = rng.normal(size=(B, N, 3)).astype(np.float32) * 15
+    raw_np[:, 120000:] = 0.0
+    raw = jnp.asarray(raw_np)
+    q = jnp.asarray([[0.999, 0.0, 0.04, 0.0]] * B, jnp.float32)
+    lidar = Q.warp_points(raw, q, jnp.asarray([[1.0, 0, 2.0]] * B)) * (
+        jnp.sum(raw**2, -1, keepdims=True) > 0
+    )
+    rgb = jnp.asarray(rng.normal(size=(B, 160, 512, 3)).astype(np.float32))
+    intr = jnp.tile(
+        jnp.asarray([[[350.0, 0, 256], [0, 350.0, 80], [0, 0, 1]]], jnp.float32),
+        (B, 1, 1),
+    )
+    variables = model.init(jax.random.key(0), rgb, lidar, raw, intr, train=False)
+    params = variables["params"]
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    Hs, Ws = cfg.lidar_Hs, cfg.lidar_Ws
+    mlps = cfg.lidar_encoder_mlps
+
+    def make_lv(i, nsample, mlp, name):
+        return ProjectPointNet(
+            out_h=Hs[i], out_w=Ws[i], stride_h=cfg.stride_Hs[i],
+            stride_w=cfg.stride_Ws[i], kernel_size=cfg.kernel_sizes[i],
+            nsample=nsample, distance=cfg.down_conv_dis[i], mlp=mlp,
+            use_trans=cfg.use_trans, use_bn=cfg.use_bn_p, dtype=cdt,
+            name=name,
+        )
+
+    def prefix(depth):
+        def fn(p, raw_xyz, lidar_xyz):
+            feats0 = jnp.zeros((B, raw_xyz.shape[1], 3), raw_xyz.dtype)
+            raw_grid, (norm_grid, xyz_grid) = spherical_project(
+                raw_xyz, [feats0, lidar_xyz], cfg.init_H, cfg.init_W,
+                cfg.fup, cfg.fdown, use_rank=cfg.rank,
+                ref_pad_quirk=cfg.ref_pad_quirk,
+            )
+            rf = cfg.raw_feat_point
+            lv = make_lv(0, cfg.lidar_group_samples[0], mlps[0], "lidar_lv1")
+            state = lv.apply(
+                {"params": p["lidar_lv1"]}, raw_grid, xyz_grid, norm_grid,
+                center_mode=True, using_intens=cfg.using_intens,
+                raw_feat_point=rf, train=False,
+            )
+            for i in range(1, depth):
+                lv = make_lv(i, cfg.lidar_group_samples[i], mlps[i],
+                             f"lidar_lv{i+1}")
+                state = lv.apply(
+                    {"params": p[f"lidar_lv{i+1}"]}, *state,
+                    raw_feat_point=rf, train=False,
+                )
+            return state[2]
+
+        return fn
+
+    for depth in (1, 2, 3, 4):
+        timeit(f"projection+lv1..{depth}", jax.jit(prefix(depth)),
+               params, raw, lidar)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "levels":
+        pyramid_prefixes()
+    else:
+        main()
