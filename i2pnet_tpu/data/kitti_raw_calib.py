@@ -229,6 +229,7 @@ class KittiRGGDataset(KittiRawCalibDataset):
         sample_point: int = 8192,
         seed: int = 0,
         pc_filter: bool = True,
+        emit_calib: bool = False,
     ):
         import pickle
 
@@ -236,6 +237,7 @@ class KittiRGGDataset(KittiRawCalibDataset):
         self.sample_point = sample_point
         self.pc_filter = pc_filter
         self.fixed_decalib = False
+        self.emit_calib = emit_calib
         self.rng = np.random.default_rng(seed)
 
         with open(pkl_path, "rb") as f:
