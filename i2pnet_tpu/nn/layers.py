@@ -22,10 +22,30 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from i2pnet_tpu.ops import conv_pallas as _cpal
+
 # torch BatchNorm defaults: eps 1e-5, running-stat update factor 0.1
 # (flax momentum = 1 - torch momentum).
 BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
+
+
+def _fused_eval_mode() -> Optional[str]:
+    """Resolve the I2PNET_FUSED_EVAL flag (read at trace time).
+
+    "auto" (default): compiled Pallas on TPU, native elsewhere.
+    "0": always native.  "1": Pallas on TPU, interpret-mode elsewhere.
+    "interpret": force interpret mode (CPU parity tests).
+    Returns None (native), "tpu", or "interpret".
+    """
+    mode = os.environ.get("I2PNET_FUSED_EVAL", "auto")
+    if mode == "0":
+        return None
+    if mode == "interpret":
+        return "interpret"
+    if jax.default_backend() == "tpu":
+        return "tpu"
+    return "interpret" if mode == "1" else None
 
 
 def _pool3_fwd(x: jnp.ndarray, stride: int) -> jnp.ndarray:
@@ -416,6 +436,22 @@ class RGBEncoderStage(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if (
+            not train
+            and not self.is_initializing()
+            and self.dtype == jnp.bfloat16
+        ):
+            # eval fast path: BN folded to scale/shift, one fused Pallas
+            # kernel per block (ops/conv_pallas.py) — removes the 128-lane
+            # channel-padding HBM traffic of the small-channel convs
+            # (measured 12.66 -> 5.42 ms / 7.86 -> 0.55 GB for the full
+            # encoder at B8 384x1280)
+            mode = _fused_eval_mode()
+            _, H, W, cin = x.shape
+            if mode is not None and _cpal.stage_supported(
+                H, W, cin, self.channels, self.strides
+            ):
+                return self._fused_eval(x, interpret=(mode == "interpret"))
         bn_dt = self.dtype if (self.bn_compute_dtype and self.dtype is not None) else None
         for ch, s in zip(self.channels, self.strides):
             x = nn.Conv(
@@ -450,6 +486,46 @@ class RGBEncoderStage(nn.Module):
             # docstring for the measurements)
             x = max_pool_3x3(x, s)
         return x
+
+    def _fused_eval(self, x: jnp.ndarray, *, interpret: bool) -> jnp.ndarray:
+        """Apply the stage via the fused Pallas blocks (eval-mode only).
+
+        Reads the Conv_j/BatchNorm_j params + running stats directly from
+        this module's bound variables (the native path's tree, unchanged)
+        and folds each block's bias + eval BN into a per-lane scale/shift.
+        Numerics match the native bf16 path up to bf16 matmul accumulation
+        order (BN applied in f32; the native bn_compute_dtype=True path
+        applies it in bf16 — same rounding magnitude).
+        """
+        v = self.variables
+        params, stats = v["params"], v["batch_stats"]
+        _, H, W, cin = x.shape
+        packed = []
+        for j in range(len(self.channels)):
+            w = params[f"Conv_{j}"]["kernel"]
+            P = 128 // _cpal._pad_cin(int(w.shape[2]))
+            sc, sh = _cpal.fold_bn_eval(
+                params[f"Conv_{j}"]["bias"],
+                stats[f"BatchNorm_{j}"]["mean"],
+                stats[f"BatchNorm_{j}"]["var"],
+                params[f"BatchNorm_{j}"]["scale"],
+                params[f"BatchNorm_{j}"]["bias"],
+                BN_EPS,
+                P,
+            )
+            packed.append(
+                (_cpal.pack_block_weights(w).astype(jnp.bfloat16), sc, sh)
+            )
+        return _cpal.fused_encoder_stage(
+            x.astype(jnp.bfloat16),
+            packed,
+            H=H,
+            W=W,
+            cin=cin,
+            channels=self.channels,
+            strides=self.strides,
+            interpret=interpret,
+        )
 
 
 class RGBEncoder(nn.Module):

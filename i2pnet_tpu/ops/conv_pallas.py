@@ -50,6 +50,7 @@ __all__ = [
     "fold_bn_eval",
     "fused_conv_block",
     "fused_encoder_stage",
+    "stage_supported",
 ]
 
 _NEG = -3.0e38  # -inf stand-in that survives bf16/f32 casts
@@ -61,6 +62,24 @@ def _pad_cin(cin: int) -> int:
     while 128 % c:
         c += 1
     return c
+
+
+def stage_supported(
+    H: int, W: int, cin: int,
+    channels: Sequence[int], strides: Sequence[int],
+) -> bool:
+    """True if every block of the stage satisfies the kernel's layout
+    constraints: stride in {1, 2} dividing H and W, W divisible by the
+    phase count P = 128 // pad(cin), and (for stride 2) W*cout divisible
+    by 256 (the even-w selection matmul operates on 256-lane groups)."""
+    for ch, s in zip(channels, strides):
+        P = 128 // _pad_cin(cin)
+        if s not in (1, 2) or H % s or W % s or W % P:
+            return False
+        if s == 2 and (W * ch) % 256:
+            return False
+        H, W, cin = H // s, W // s, ch
+    return True
 
 
 def pack_block_weights(w: jnp.ndarray) -> jnp.ndarray:
