@@ -1,0 +1,659 @@
+"""Training-mode fused RGB-encoder kernels (Pallas, TPU).
+
+The train step is HBM-bound in the RGB encoder (BASELINE.md round-2
+investigation: 80 GB accessed, 107 of 120 ms), and most of that traffic is
+the 128-lane channel padding XLA applies to small-channel NHWC convs — the
+same padding the eval-mode fused kernel (ops/conv_pallas.py) removes by
+keeping activations in a dense merged ``(B, H, W*C)`` layout.
+
+This module provides the merged-layout building blocks for TRAINING, where
+BN uses batch statistics and everything must be differentiable:
+
+- ``conv_phase``: 3x3 stride-1 pad-1 conv on the merged layout (the
+  phase-packed MXU formulation of conv_pallas.py, without BN/pool).
+  Used for the forward conv AND, with spatially-flipped transposed
+  weights, for the backward's dL/dx (a transposed conv is the same conv).
+- ``conv_phase_dw``: the weight gradient — accumulates the phase-packed
+  ``dWp[kh] += X_window^T @ dY`` over grid tiles; ``unpack_dw`` folds the
+  packed gradient back to ``(3, 3, cin, cout)`` (each w entry appears in
+  P phase copies, so the adjoint is a sum over the p diagonal).
+- ``bn_pool_apply`` / its backward kernel: per-lane scale/shift (the BN
+  affine resolved OUTSIDE the kernel from batch stats, so XLA autodiff
+  handles the stats coupling) -> LeakyReLU(0.1) -> bf16 cast -> 3x3
+  max-pool. The backward reproduces XLA select_and_scatter's first-max
+  (row-major window scan) tie routing so gradients match the native path.
+
+Everything between the kernels (batch statistics, the BN backward's
+reductions, scale/shift algebra) runs as plain XLA on merged-layout
+tensors — elementwise + full-lane-width reductions with no padding — so
+only the spatially-structured ops live in Pallas.
+
+Semantics match nn/layers.py RGBEncoderStage (ref basicConv.py:6-20):
+conv (bf16 in, f32 accum) + bias -> BN (batch stats, f32) ->
+LeakyReLU(0.1) -> bf16 -> max-pool 3x3.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from i2pnet_tpu.ops.conv_pallas import _pad_cin, pack_block_weights
+
+__all__ = [
+    "conv_phase",
+    "conv_phase_dw",
+    "unpack_dw",
+    "flip_transpose_kernel",
+    "pack_block_weights",
+    "bn_pool",
+]
+
+_NEG = -3.0e38
+
+
+def _pick_ht(H: int, ht: int) -> int:
+    """Largest tile height <= ht dividing H with Mosaic-friendly rows."""
+    ht = min(ht, H)
+    while ht > 1:
+        if H % ht == 0 and (ht % 8 == 0 or ht == H):
+            return ht
+        ht -= 1
+    return H
+
+
+def _build_windows(ext, rows, G, K, cin, Lx):
+    """(rows, W*cin) ext rows -> (rows*G, K) phase windows.
+
+    Each 128-lane group g covers P w-positions; its conv window spans
+    K = (P+2)*cin lanes: [left neighbour's last cin, the group, right
+    neighbour's first cin].  Lane rolls run in f32 (Mosaic rotates only
+    32-bit data); out-of-image w edges are zeroed.
+    """
+    ext32 = ext.astype(jnp.float32)
+    ext = ext.astype(jnp.bfloat16)
+    mid = ext.reshape(rows, G, 128)
+    left = pltpu.roll(ext32, cin, axis=1).reshape(rows, G, 128)[
+        :, :, :cin].astype(jnp.bfloat16)
+    right = pltpu.roll(ext32, Lx - 128, axis=1).reshape(rows, G, 128)[
+        :, :, :cin].astype(jnp.bfloat16)
+    X = jnp.concatenate([left, mid, right], axis=2)  # (rows, G, K)
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (1, G, 1), 1)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
+    edge = ((gidx == 0) & (kidx < cin)) | ((gidx == G - 1) & (kidx >= K - cin))
+    X = jnp.where(edge, jnp.zeros_like(X), X)
+    return X.reshape(rows * G, K)
+
+
+def _conv_kernel(
+    wp_ref, bias_ref, prev_ref, main_ref, next_ref, out_ref,
+    *, H: int, W: int, cin: int, cout: int, ht: int,
+):
+    """(1, ht, W*cin) rows -> (1, ht, W*cout) conv rows (same-size conv)."""
+    P = 128 // cin
+    G = W // P
+    K = (P + 2) * cin
+    i = pl.program_id(1)
+    row0 = i * ht
+    rows = ht + 2
+
+    ext = jnp.concatenate(
+        [prev_ref[0, ht - 1:ht, :], main_ref[0], next_ref[0, 0:1, :]], axis=0)
+    gx = row0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    ext = jnp.where((gx >= 0) & (gx < H), ext, jnp.zeros_like(ext))
+
+    Xf = _build_windows(ext, rows, G, K, cin, W * cin)
+
+    acc = jnp.zeros((ht * G, P * cout), jnp.float32)
+    for kh in range(3):
+        acc = acc + jax.lax.dot_general(
+            Xf[kh * G:(kh + ht) * G], wp_ref[kh],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc = acc + bias_ref[0]
+    out_ref[0] = acc.reshape(ht, W * cout).astype(out_ref.dtype)
+
+
+def conv_phase(
+    x: jnp.ndarray,
+    wp: jnp.ndarray,
+    bias: jnp.ndarray,
+    *,
+    H: int,
+    W: int,
+    cin: int,
+    cout: int,
+    ht: int = 16,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Same-size 3x3 conv + bias on the merged layout.
+
+    x: (B, H, W*cin) bf16 (cin must divide 128 — zero-pad first);
+    wp: (3, K, P*cout) packed weights (pack_block_weights), bf16;
+    bias: (1, P*cout) per-channel bias tiled P times, f32.
+    Returns (B, H, W*cout) out_dtype.
+    """
+    if 128 % cin:
+        raise ValueError(f"cin={cin} must divide 128")
+    B = x.shape[0]
+    ht = _pick_ht(H, ht)
+    ni = H // ht
+    grid = (B, ni)
+    in_block = (1, ht, W * cin)
+
+    def im_main(b, i):
+        return (b, i, 0)
+
+    def im_prev(b, i):
+        return (b, jnp.maximum(i - 1, 0), 0)
+
+    def im_next(b, i):
+        return (b, jnp.minimum(i + 1, ni - 1), 0)
+
+    kern = functools.partial(
+        _conv_kernel, H=H, W=W, cin=cin, cout=cout, ht=ht)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(wp.shape, lambda b, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bias.shape, lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(in_block, im_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(in_block, im_main, memory_space=pltpu.VMEM),
+            pl.BlockSpec(in_block, im_next, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ht, W * cout), im_main,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W * cout), out_dtype),
+        interpret=interpret,
+    )(wp, bias, x, x, x)
+
+
+def flip_transpose_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, cin, cout) -> (3, 3, cout, cin) spatially flipped.
+
+    conv_phase with this kernel applied to dL/dy computes dL/dx (the
+    transposed conv of a same-size stride-1 pad-1 3x3 conv).
+    """
+    return jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+
+
+def _dw_kernel(
+    prev_ref, main_ref, next_ref, dy_ref, out_ref,
+    *, H: int, W: int, cin: int, cout: int, ht: int,
+):
+    """Accumulate dWp[kh] += X_window^T @ dY over sequential grid tiles."""
+    P = 128 // cin
+    G = W // P
+    K = (P + 2) * cin
+    N = P * cout
+    i = pl.program_id(1)
+    b = pl.program_id(0)
+    row0 = i * ht
+    rows = ht + 2
+
+    ext = jnp.concatenate(
+        [prev_ref[0, ht - 1:ht, :], main_ref[0], next_ref[0, 0:1, :]], axis=0)
+    gx = row0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    ext = jnp.where((gx >= 0) & (gx < H), ext, jnp.zeros_like(ext))
+    Xf = _build_windows(ext, rows, G, K, cin, W * cin)
+
+    dy = dy_ref[0].reshape(ht * G, N).astype(jnp.bfloat16)
+
+    @pl.when((b == 0) & (i == 0))
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    for kh in range(3):
+        out_ref[kh] += jax.lax.dot_general(
+            Xf[kh * G:(kh + ht) * G], dy,
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def conv_phase_dw(
+    x: jnp.ndarray,
+    dy: jnp.ndarray,
+    *,
+    H: int,
+    W: int,
+    cin: int,
+    cout: int,
+    ht: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Packed weight gradient dWp (3, K, P*cout) f32.
+
+    x: (B, H, W*cin) bf16; dy: (B, H, W*cout) grad of the conv output.
+    """
+    if 128 % cin:
+        raise ValueError(f"cin={cin} must divide 128")
+    B = x.shape[0]
+    P = 128 // cin
+    K = (P + 2) * cin
+    ht = _pick_ht(H, ht)
+    ni = H // ht
+    in_block = (1, ht, W * cin)
+
+    def im_main(b, i):
+        return (b, i, 0)
+
+    def im_prev(b, i):
+        return (b, jnp.maximum(i - 1, 0), 0)
+
+    def im_next(b, i):
+        return (b, jnp.minimum(i + 1, ni - 1), 0)
+
+    kern = functools.partial(_dw_kernel, H=H, W=W, cin=cin, cout=cout, ht=ht)
+    return pl.pallas_call(
+        kern,
+        grid=(B, ni),
+        in_specs=[
+            pl.BlockSpec(in_block, im_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(in_block, im_main, memory_space=pltpu.VMEM),
+            pl.BlockSpec(in_block, im_next, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ht, W * cout), im_main,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, K, P * cout), lambda b, i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, K, P * cout), jnp.float32),
+        interpret=interpret,
+    )(x, x, x, dy)
+
+
+def _even_selector(cout: int) -> np.ndarray:
+    """(256, 128) 0/1 matrix compacting the even-w half of a 256-lane
+    merged (w, c) group into 128 lanes (exact as a bf16/f32 matmul)."""
+    S = np.zeros((256, 128), np.float32)
+    for lp in range(128):
+        S[2 * (lp // cout) * cout + (lp % cout), lp] = 1.0
+    return S
+
+
+def _bn_pool_kernel(
+    sc_ref, sh_ref, sel_ref, prev_ref, main_ref, next_ref, out_ref,
+    *, H: int, W: int, cout: int, stride: int, ht_out: int,
+):
+    """z = y*scale+shift -> LeakyReLU -> bf16 -> 3x3 max-pool (stride s).
+
+    One tile: conv rows [row0, row0+ht_in) + 1-row halo -> out rows
+    [row0/s, row0/s + ht_out).
+    """
+    L = W * cout
+    ht_in = ht_out * stride
+    i = pl.program_id(1)
+    row0 = i * ht_in
+    rows = ht_in + 2
+
+    y = jnp.concatenate(
+        [prev_ref[0, ht_in - 1:ht_in, :], main_ref[0], next_ref[0, 0:1, :]],
+        axis=0)
+    z = y.astype(jnp.float32) * sc_ref[0] + sh_ref[0]
+    a = jnp.where(z >= 0, z, 0.1 * z).astype(jnp.bfloat16).astype(jnp.float32)
+    gr = row0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    a = jnp.where((gr >= 0) & (gr < H), a, jnp.full_like(a, _NEG))
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    wl = jnp.where(lane >= cout, pltpu.roll(a, cout, axis=1),
+                   jnp.full_like(a, _NEG))
+    wr = jnp.where(lane < L - cout, pltpu.roll(a, L - cout, axis=1),
+                   jnp.full_like(a, _NEG))
+    wmax = jnp.maximum(a, jnp.maximum(wl, wr))
+
+    if stride == 1:
+        out = jnp.maximum(
+            wmax[0:ht_out],
+            jnp.maximum(wmax[1:ht_out + 1], wmax[2:ht_out + 2]))
+    else:
+        half = rows // 2  # rows = 2*ht_out + 2 (even)
+        paired = wmax.reshape(half, 2, L)
+        ev, od = paired[:, 0, :], paired[:, 1, :]
+        out = jnp.maximum(
+            ev[0:ht_out], jnp.maximum(od[0:ht_out], ev[1:ht_out + 1]))
+        out = out.astype(jnp.bfloat16)
+        m = out.reshape(ht_out * (L // 256), 256)
+        out = jax.lax.dot_general(
+            m, sel_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(ht_out, L // 2)
+    out_ref[0] = out.astype(jnp.bfloat16)
+
+
+def _bn_pool_fwd_p(y, sc_lane, sh_lane, *, H, W, cout, stride, ht_out,
+                   interpret):
+    B = y.shape[0]
+    Ho = H // stride
+    ht_out = _pick_ht(Ho, ht_out)
+    # the input tile (ht_in rows) must also satisfy Mosaic's row rules
+    while ht_out > 1 and not (
+            (ht_out * stride) % 8 == 0 or ht_out * stride == H):
+        ht_out = _pick_ht(Ho, ht_out - 1)
+    ht_in = ht_out * stride
+    ni = H // ht_in
+    in_block = (1, ht_in, W * cout)
+    sel = jnp.asarray(_even_selector(cout), jnp.bfloat16)
+
+    def im_main(b, i):
+        return (b, i, 0)
+
+    def im_prev(b, i):
+        return (b, jnp.maximum(i - 1, 0), 0)
+
+    def im_next(b, i):
+        return (b, jnp.minimum(i + 1, ni - 1), 0)
+
+    kern = functools.partial(
+        _bn_pool_kernel, H=H, W=W, cout=cout, stride=stride, ht_out=ht_out)
+    return pl.pallas_call(
+        kern,
+        grid=(B, ni),
+        in_specs=[
+            pl.BlockSpec(sc_lane.shape, lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sh_lane.shape, lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sel.shape, lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(in_block, im_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(in_block, im_main, memory_space=pltpu.VMEM),
+            pl.BlockSpec(in_block, im_next, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ht_out, (W // stride) * cout), im_main,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, Ho, (W // stride) * cout), jnp.bfloat16),
+        interpret=interpret,
+    )(sc_lane, sh_lane, sel, y, y, y)
+
+
+def _bn_pool_bwd_kernel(
+    sc_ref, sh_ref, sel_ref, selT_ref,
+    yp_ref, ym_ref, yn_ref, gp_ref, gm_ref, gn_ref, dz_ref,
+    *, H: int, W: int, cout: int, stride: int, htc: int,
+):
+    """dz for conv rows [row0, row0+htc) from grad-of-out, first-max ties.
+
+    Recomputes a = bf16(LeakyReLU(y*scale+shift)) for conv rows
+    [row0-4, row0+htc+4), the pooled out values for out rows
+    [o0-1, o0+ho+1), then routes each out grad to the first (row-major
+    (kh, kw) scan) window position attaining the max — matching XLA
+    select_and_scatter — and accumulates onto the conv grid.
+    """
+    L = W * cout
+    Lo = (W // stride) * cout
+    ho = htc // stride
+    i = pl.program_id(1)
+    row0 = i * htc
+    o0 = row0 // stride
+    rows = htc + 8  # conv rows [row0-4, row0+htc+4)
+    Ho = H // stride
+
+    # recompute a on the extended conv grid
+    y = jnp.concatenate(
+        [yp_ref[0, htc - 4:htc, :], ym_ref[0], yn_ref[0, 0:4, :]], axis=0)
+    z = y.astype(jnp.float32) * sc_ref[0] + sh_ref[0]
+    a = jnp.where(z >= 0, z, 0.1 * z).astype(jnp.bfloat16).astype(jnp.float32)
+    gr = row0 - 4 + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    a = jnp.where((gr >= 0) & (gr < H), a, jnp.full_like(a, _NEG))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+
+    # out grads on out rows [o0-1, o0+ho+1)
+    go = jnp.concatenate(
+        [gp_ref[0, ho - 1:ho, :], gm_ref[0], gn_ref[0, 0:1, :]], axis=0)
+    go = go.astype(jnp.float32)
+    gor = o0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (ho + 2, 1), 0)
+    go = jnp.where((gor >= 0) & (gor < Ho), go, jnp.zeros_like(go))
+    no = ho + 2
+
+    def tap(kh, kw):
+        """a at conv position (o*s + kh - 1, w_out*s + kw - 1, c) for the
+        no out rows starting at o0-1, as an (no, Lo) array."""
+        # lanes: roll so target w lands at position s*w_out, then (s=2)
+        # compact even-w via the selection matmul
+        off = kw - 1
+        if off > 0:
+            t = jnp.where(lane < L - off * cout,
+                          pltpu.roll(a, L - off * cout, axis=1),
+                          jnp.full_like(a, _NEG))
+        elif off < 0:
+            t = jnp.where(lane >= cout,
+                          pltpu.roll(a, cout, axis=1),
+                          jnp.full_like(a, _NEG))
+        else:
+            t = a
+        # rows: conv row (o*s + kh - 1) for o = o0-1 .. o0+ho; relative to
+        # a's first row (row0-4): idx = (o - o0)*s + kh - 1 + 4 - ? ... base
+        # for o = o0-1: (o0-1)*s + kh - 1 - (row0 - 4) = kh + 3 - s
+        base = kh + 3 - stride
+        if stride == 1:
+            r = t[base:base + no]
+        else:
+            # rows base, base+2, ...: pair rows and pick the parity
+            tb = t[base:base + 2 * no]
+            tb = tb.reshape(no, 2, L)[:, 0, :]
+            r = tb
+        if stride == 2:
+            rb = r.astype(jnp.bfloat16)
+            m = rb.reshape(no * (L // 256), 256)
+            r = jax.lax.dot_general(
+                m, sel_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(no, Lo)
+            # the selection matmul turns -NEG pad into 0 only for lanes
+            # whose source was dropped; dropped lanes never matter (they
+            # correspond to odd-w outputs that don't exist)
+        return r
+
+    taps = [(kh, kw) for kh in range(3) for kw in range(3)]
+    out_val = jnp.full((no, Lo), _NEG, jnp.float32)
+    for kh, kw in taps:
+        out_val = jnp.maximum(out_val, tap(kh, kw))
+
+    dz_acc = jnp.zeros((htc, L), jnp.float32)
+    seen = jnp.zeros((no, Lo), jnp.float32)  # 1.0 once a tie was routed
+    olane = jax.lax.broadcasted_iota(jnp.int32, (1, Lo), 1)
+    for kh, kw in taps:
+        t = tap(kh, kw)
+        m = (t == out_val) & (t > _NEG / 2)
+        first = jnp.where(m, 1.0 - seen, 0.0)
+        seen = seen + first
+        contrib = go * first  # (no, Lo)
+        # scatter back to the conv grid: lane expand (s=2) + roll, row place
+        if stride == 2:
+            cb = contrib.astype(jnp.float32)
+            m2 = cb.reshape(no * (Lo // 128), 128)
+            c_exp = jax.lax.dot_general(
+                m2, selT_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(no, L)
+        else:
+            c_exp = contrib
+        off = kw - 1
+        if off > 0:
+            c_exp = jnp.where(lane >= off * cout,
+                              pltpu.roll(c_exp, off * cout, axis=1),
+                              jnp.zeros_like(c_exp))
+        elif off < 0:
+            c_exp = jnp.where(lane < L - cout,
+                              pltpu.roll(c_exp, L - cout, axis=1),
+                              jnp.zeros_like(c_exp))
+        # rows: out row o -> conv row o*s + kh - 1; keep rows in
+        # [row0, row0+htc): relative conv row = (o - o0)*s + kh - 1
+        def place(src, n_rows, lo, hi, at, L=L):
+            """src[lo:hi] placed at rows [at, at+hi-lo) of an n_rows zeros
+            array, via static concatenation (no scatter in-kernel)."""
+            parts = []
+            if at > 0:
+                parts.append(jnp.zeros((at, L), jnp.float32))
+            parts.append(src[lo:hi])
+            tail = n_rows - at - (hi - lo)
+            if tail > 0:
+                parts.append(jnp.zeros((tail, L), jnp.float32))
+            return parts[0] if len(parts) == 1 else jnp.concatenate(
+                parts, axis=0)
+
+        if stride == 1:
+            # o index j (0..no-1) -> conv row j + kh - 2 relative to row0
+            sh = kh - 2
+            lo = max(0, -sh)
+            hi = min(no, htc - sh)
+            dz_acc = dz_acc + place(c_exp, htc, lo, hi, lo + sh)
+        else:
+            # out index j -> conv row r = 2j + kh - 3 relative to row0;
+            # split by parity and interleave (htc/2, 2, L) -> (htc, L)
+            sh = kh - 3  # r = 2j + sh
+            jlo = max(0, (-sh + 1) // 2)
+            jhi = min(no, (htc - sh + 1) // 2)
+            half = htc // 2
+            if sh % 2 == 0:
+                ev = place(c_exp, half, jlo, jhi, (2 * jlo + sh) // 2)
+                od = jnp.zeros((half, L), jnp.float32)
+            else:
+                od = place(c_exp, half, jlo, jhi, (2 * jlo + sh - 1) // 2)
+                ev = jnp.zeros((half, L), jnp.float32)
+            inter = jnp.concatenate(
+                [ev[:, None, :], od[:, None, :]], axis=1).reshape(htc, L)
+            dz_acc = dz_acc + inter
+
+    # dz = da * lrelu'(z) on the main rows; z for main rows is a[4:4+htc]
+    zmain = (ym_ref[0].astype(jnp.float32) * sc_ref[0] + sh_ref[0])
+    dz_ref[0] = dz_acc * jnp.where(zmain >= 0, 1.0, 0.1)
+
+
+def _bn_pool_bwd_p(y, sc_lane, sh_lane, g, *, H, W, cout, stride, htc,
+                   interpret):
+    B = y.shape[0]
+    L = W * cout
+    Lo = (W // stride) * cout
+    htc = _pick_ht(H, htc)
+    if stride == 2:
+        while htc > 1 and not (
+                htc % 2 == 0 and ((htc // 2) % 8 == 0 or htc // 2 == H // 2)):
+            htc = _pick_ht(H, htc - 1)
+    ho = htc // stride
+    ni = H // htc
+    sel = jnp.asarray(_even_selector(cout), jnp.bfloat16)
+    selT = jnp.asarray(_even_selector(cout).T, jnp.float32)
+
+    def im_main(b, i):
+        return (b, i, 0)
+
+    def im_prev(b, i):
+        return (b, jnp.maximum(i - 1, 0), 0)
+
+    def im_next(b, i):
+        return (b, jnp.minimum(i + 1, ni - 1), 0)
+
+    kern = functools.partial(
+        _bn_pool_bwd_kernel, H=H, W=W, cout=cout, stride=stride, htc=htc)
+    return pl.pallas_call(
+        kern,
+        grid=(B, ni),
+        in_specs=[
+            pl.BlockSpec(sc_lane.shape, lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sh_lane.shape, lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sel.shape, lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(selT.shape, lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, htc, L), im_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, htc, L), im_main, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, htc, L), im_next, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ho, Lo), im_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ho, Lo), im_main, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ho, Lo), im_next, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, htc, L), im_main,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, L), jnp.float32),
+        interpret=interpret,
+    )(sc_lane, sh_lane, sel, selT, y, y, y, g, g, g)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_bn_pool(H, W, cout, stride, ht_out, htc, interpret):
+    """custom_vjp'd (y, scale_c, shift_c) -> pooled out for fixed shapes.
+
+    y: (B, H, W*cout) bf16 conv output (bias included);
+    scale_c/shift_c: (cout,) f32 — the BN affine RESOLVED from batch
+    statistics outside (so XLA autodiff propagates the stats coupling).
+    out: (B, H//stride, (W//stride)*cout) bf16.
+    """
+
+    def fwd_only(y, scale_c, shift_c):
+        sc = jnp.tile(scale_c, W)[None, :]
+        sh = jnp.tile(shift_c, W)[None, :]
+        return _bn_pool_fwd_p(
+            y, sc, sh, H=H, W=W, cout=cout, stride=stride, ht_out=ht_out,
+            interpret=interpret)
+
+    @jax.custom_vjp
+    def f(y, scale_c, shift_c):
+        return fwd_only(y, scale_c, shift_c)
+
+    def f_fwd(y, scale_c, shift_c):
+        return fwd_only(y, scale_c, shift_c), (y, scale_c, shift_c)
+
+    def f_bwd(res, g):
+        y, scale_c, shift_c = res
+        sc = jnp.tile(scale_c, W)[None, :]
+        sh = jnp.tile(shift_c, W)[None, :]
+        dz = _bn_pool_bwd_p(
+            y, sc, sh, g, H=H, W=W, cout=cout, stride=stride, htc=htc,
+            interpret=interpret)
+        dy = (dz * sc).astype(y.dtype)
+        yf = y.astype(jnp.float32)
+        dsc = jnp.sum(dz * yf, axis=(0, 1)).reshape(W, cout).sum(0)
+        dsh = jnp.sum(dz, axis=(0, 1)).reshape(W, cout).sum(0)
+        return dy, dsc, dsh
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def bn_pool(
+    y: jnp.ndarray,
+    scale_c: jnp.ndarray,
+    shift_c: jnp.ndarray,
+    *,
+    H: int,
+    W: int,
+    cout: int,
+    stride: int,
+    ht_out: int = 16,
+    htc: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """BN affine (per-channel scale/shift) -> LeakyReLU(0.1) -> bf16 ->
+    3x3/stride max-pool on the merged layout, differentiable (first-max
+    tie routing in the pool backward, matching XLA select_and_scatter)."""
+    f = _make_bn_pool(H, W, cout, stride, ht_out, htc, interpret)
+    return f(y, scale_c.astype(jnp.float32), shift_c.astype(jnp.float32))
+
+
+def unpack_dw(dwp: jnp.ndarray, cin: int, cout: int) -> jnp.ndarray:
+    """Adjoint of pack_block_weights: (3, K, P*cout) -> (3, 3, cin, cout).
+
+    w[kh, kw, ci, co] appears at packed slots (r, p) with r = p + kw for
+    every phase p, so its gradient is the sum over that diagonal.
+    """
+    cin_p = _pad_cin(cin)
+    P = 128 // cin_p
+    A = dwp.reshape(3, P + 2, cin_p, P, cout)
+    rows = []
+    for kw in range(3):
+        # sum_p A[:, p + kw, :, p, :]
+        terms = [A[:, p + kw, :, p, :] for p in range(P)]
+        rows.append(functools.reduce(jnp.add, terms))
+    dw = jnp.stack(rows, axis=1)  # (3, 3, cin_p, cout)
+    return dw[:, :, :cin, :]
