@@ -37,7 +37,7 @@ BN/LeakyReLU, pool after bf16 cast — max commutes with the monotone cast).
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -82,20 +82,24 @@ def stage_supported(
     return True
 
 
-def pack_block_weights(w: jnp.ndarray) -> jnp.ndarray:
+def pack_block_weights(w: jnp.ndarray, P: Optional[int] = None) -> jnp.ndarray:
     """(3, 3, cin, cout) conv kernel -> (3, K, P*cout) phase-packed weights.
 
     P = 128 // cin' output w-phases per 128-lane input group (cin' = cin
     zero-padded to divide 128); K = (P + 2) * cin'.
     Wp[kh, r*cin' + ci, p*cout + co] = w[kh, r - p, ci, co] when
     0 <= r - p <= 2 (the kw tap), else 0.
+    An explicit P overrides the default (the train-path dx kernel uses
+    P = max(128//cin, 128//cout) so the output group width P*cout stays a
+    lane multiple when cout < cin).
     """
     cin, cout = int(w.shape[2]), int(w.shape[3])
     cin_p = _pad_cin(cin)
     if cin_p != cin:
         w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_p - cin), (0, 0)))
         cin = cin_p
-    P = 128 // cin
+    if P is None:
+        P = 128 // cin
     K = (P + 2) * cin
     r = np.arange(P + 2)[:, None]
     p = np.arange(P)[None, :]

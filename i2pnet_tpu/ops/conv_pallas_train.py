@@ -53,6 +53,8 @@ __all__ = [
     "flip_transpose_kernel",
     "pack_block_weights",
     "bn_pool",
+    "conv_train",
+    "fused_stage_train",
 ]
 
 _NEG = -3.0e38
@@ -68,20 +70,21 @@ def _pick_ht(H: int, ht: int) -> int:
     return H
 
 
-def _build_windows(ext, rows, G, K, cin, Lx):
+def _build_windows(ext, rows, G, K, cin, Lx, M=128):
     """(rows, W*cin) ext rows -> (rows*G, K) phase windows.
 
-    Each 128-lane group g covers P w-positions; its conv window spans
-    K = (P+2)*cin lanes: [left neighbour's last cin, the group, right
-    neighbour's first cin].  Lane rolls run in f32 (Mosaic rotates only
-    32-bit data); out-of-image w edges are zeroed.
+    Each M-lane group g (M = P*cin, a multiple of 128) covers P
+    w-positions; its conv window spans K = (P+2)*cin lanes: [left
+    neighbour's last cin, the group, right neighbour's first cin].
+    Lane rolls run in f32 (Mosaic rotates only 32-bit data);
+    out-of-image w edges are zeroed.
     """
     ext32 = ext.astype(jnp.float32)
     ext = ext.astype(jnp.bfloat16)
-    mid = ext.reshape(rows, G, 128)
-    left = pltpu.roll(ext32, cin, axis=1).reshape(rows, G, 128)[
+    mid = ext.reshape(rows, G, M)
+    left = pltpu.roll(ext32, cin, axis=1).reshape(rows, G, M)[
         :, :, :cin].astype(jnp.bfloat16)
-    right = pltpu.roll(ext32, Lx - 128, axis=1).reshape(rows, G, 128)[
+    right = pltpu.roll(ext32, Lx - M, axis=1).reshape(rows, G, M)[
         :, :, :cin].astype(jnp.bfloat16)
     X = jnp.concatenate([left, mid, right], axis=2)  # (rows, G, K)
     gidx = jax.lax.broadcasted_iota(jnp.int32, (1, G, 1), 1)
@@ -93,10 +96,9 @@ def _build_windows(ext, rows, G, K, cin, Lx):
 
 def _conv_kernel(
     wp_ref, bias_ref, prev_ref, main_ref, next_ref, out_ref,
-    *, H: int, W: int, cin: int, cout: int, ht: int,
+    *, H: int, W: int, cin: int, cout: int, ht: int, P: int,
 ):
     """(1, ht, W*cin) rows -> (1, ht, W*cout) conv rows (same-size conv)."""
-    P = 128 // cin
     G = W // P
     K = (P + 2) * cin
     i = pl.program_id(1)
@@ -108,7 +110,7 @@ def _conv_kernel(
     gx = row0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     ext = jnp.where((gx >= 0) & (gx < H), ext, jnp.zeros_like(ext))
 
-    Xf = _build_windows(ext, rows, G, K, cin, W * cin)
+    Xf = _build_windows(ext, rows, G, K, cin, W * cin, M=P * cin)
 
     acc = jnp.zeros((ht * G, P * cout), jnp.float32)
     for kh in range(3):
@@ -130,6 +132,7 @@ def conv_phase(
     cout: int,
     ht: int = 16,
     out_dtype=jnp.bfloat16,
+    P: int = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Same-size 3x3 conv + bias on the merged layout.
@@ -137,10 +140,24 @@ def conv_phase(
     x: (B, H, W*cin) bf16 (cin must divide 128 — zero-pad first);
     wp: (3, K, P*cout) packed weights (pack_block_weights), bf16;
     bias: (1, P*cout) per-channel bias tiled P times, f32.
+    P: w-phases per lane group; default max(128//cin, 128//cout) so both
+    the input group width P*cin and output group width P*cout are lane
+    multiples (cout < cin — the dx direction — needs the larger count).
+    wp must be packed with the same P (shape-checked).
     Returns (B, H, W*cout) out_dtype.
     """
     if 128 % cin:
         raise ValueError(f"cin={cin} must divide 128")
+    if P is None:
+        P = max(128 // cin, 128 // cout)
+    if (P * cin) % 128 or (P * cout) % 128 or W % P:
+        raise ValueError(
+            f"P={P} needs P*cin ({P * cin}) and P*cout ({P * cout}) to be "
+            f"multiples of 128 and W ({W}) a multiple of P")
+    if tuple(wp.shape) != (3, (P + 2) * cin, P * cout):
+        raise ValueError(
+            f"wp shape {tuple(wp.shape)} != (3, {(P + 2) * cin}, "
+            f"{P * cout}); pack_block_weights must use the same P={P}")
     B = x.shape[0]
     ht = _pick_ht(H, ht)
     ni = H // ht
@@ -157,7 +174,7 @@ def conv_phase(
         return (b, jnp.minimum(i + 1, ni - 1), 0)
 
     kern = functools.partial(
-        _conv_kernel, H=H, W=W, cin=cin, cout=cout, ht=ht)
+        _conv_kernel, H=H, W=W, cin=cin, cout=cout, ht=ht, P=P)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -188,10 +205,9 @@ def flip_transpose_kernel(w: jnp.ndarray) -> jnp.ndarray:
 
 def _dw_kernel(
     prev_ref, main_ref, next_ref, dy_ref, out_ref,
-    *, H: int, W: int, cin: int, cout: int, ht: int,
+    *, H: int, W: int, cin: int, cout: int, ht: int, P: int,
 ):
     """Accumulate dWp[kh] += X_window^T @ dY over sequential grid tiles."""
-    P = 128 // cin
     G = W // P
     K = (P + 2) * cin
     N = P * cout
@@ -204,7 +220,7 @@ def _dw_kernel(
         [prev_ref[0, ht - 1:ht, :], main_ref[0], next_ref[0, 0:1, :]], axis=0)
     gx = row0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     ext = jnp.where((gx >= 0) & (gx < H), ext, jnp.zeros_like(ext))
-    Xf = _build_windows(ext, rows, G, K, cin, W * cin)
+    Xf = _build_windows(ext, rows, G, K, cin, W * cin, M=P * cin)
 
     dy = dy_ref[0].reshape(ht * G, N).astype(jnp.bfloat16)
 
@@ -227,16 +243,23 @@ def conv_phase_dw(
     cin: int,
     cout: int,
     ht: int = 16,
+    P: int = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Packed weight gradient dWp (3, K, P*cout) f32.
 
     x: (B, H, W*cin) bf16; dy: (B, H, W*cout) grad of the conv output.
+    P as in conv_phase (P*cout must be a lane multiple for dy's reshape).
     """
     if 128 % cin:
         raise ValueError(f"cin={cin} must divide 128")
+    if P is None:
+        P = max(128 // cin, 128 // cout)
+    if (P * cin) % 128 or (P * cout) % 128 or W % P:
+        raise ValueError(
+            f"P={P} needs P*cin ({P * cin}) and P*cout ({P * cout}) to be "
+            f"multiples of 128 and W ({W}) a multiple of P")
     B = x.shape[0]
-    P = 128 // cin
     K = (P + 2) * cin
     ht = _pick_ht(H, ht)
     ni = H // ht
@@ -251,7 +274,8 @@ def conv_phase_dw(
     def im_next(b, i):
         return (b, jnp.minimum(i + 1, ni - 1), 0)
 
-    kern = functools.partial(_dw_kernel, H=H, W=W, cin=cin, cout=cout, ht=ht)
+    kern = functools.partial(
+        _dw_kernel, H=H, W=W, cin=cin, cout=cout, ht=ht, P=P)
     return pl.pallas_call(
         kern,
         grid=(B, ni),
@@ -641,14 +665,137 @@ def bn_pool(
     return f(y, scale_c.astype(jnp.float32), shift_c.astype(jnp.float32))
 
 
-def unpack_dw(dwp: jnp.ndarray, cin: int, cout: int) -> jnp.ndarray:
+@functools.lru_cache(maxsize=None)
+def _make_conv_train(H, W, cin_l, cout, interpret):
+    """custom_vjp'd merged-layout conv for fixed shapes.
+
+    (x, w, b) -> y: x (B, H, W*cin_p) bf16 (cin_l zero-padded to cin_p
+    lanes); w (3, 3, cin_l, cout) f32 param; b (cout,) f32. y bf16.
+    Backward: dx via conv_phase with the flipped-transposed kernel
+    (zero-padded back to cin_p output lanes), dw via conv_phase_dw +
+    unpack_dw, db as the merged-lane channel sum of the cotangent.
+    """
+    cin_p = _pad_cin(cin_l)
+    P = max(128 // cin_p, 128 // cout)
+    cin_t = _pad_cin(cout)
+    # dx emits cin_p channels; when cin_p < cout the phase count must grow
+    # so the output group width P*cin_p stays a lane multiple
+    Pt = max(128 // cin_t, 128 // cin_p)
+
+    def fwd_only(x, w, b):
+        wp = pack_block_weights(w, P=P).astype(jnp.bfloat16)
+        return conv_phase(
+            x, wp, jnp.tile(b, P)[None, :], H=H, W=W, cin=cin_p, cout=cout,
+            P=P, interpret=interpret)
+
+    @jax.custom_vjp
+    def f(x, w, b):
+        return fwd_only(x, w, b)
+
+    def f_fwd(x, w, b):
+        return fwd_only(x, w, b), (x, w)
+
+    def f_bwd(res, g):
+        x, w = res
+        g = g.astype(jnp.bfloat16)
+        B = g.shape[0]
+        if cin_t != cout:
+            g4 = g.reshape(B, H, W, cout)
+            g_dx = jnp.pad(
+                g4, ((0, 0),) * 3 + ((0, cin_t - cout),)).reshape(
+                    B, H, W * cin_t)
+        else:
+            g_dx = g
+        wt = flip_transpose_kernel(w)  # (3, 3, cout, cin_l)
+        if cin_p != cin_l:
+            wt = jnp.pad(wt, ((0, 0),) * 3 + ((0, cin_p - cin_l),))
+        wpt = pack_block_weights(wt, P=Pt).astype(jnp.bfloat16)
+        dx = conv_phase(
+            g_dx, wpt, jnp.zeros((1, Pt * cin_p), jnp.float32),
+            H=H, W=W, cin=cin_t, cout=cin_p, P=Pt, interpret=interpret)
+        dwp = conv_phase_dw(
+            x, g, H=H, W=W, cin=cin_p, cout=cout, P=P, interpret=interpret)
+        dw = unpack_dw(dwp, cin_l, cout, P=P)
+        db = g.astype(jnp.float32).sum((0, 1)).reshape(W, cout).sum(0)
+        return dx, dw, db
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def conv_train(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    H: int,
+    W: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable merged-layout 3x3 conv + bias (see _make_conv_train)."""
+    cin_l, cout = int(w.shape[2]), int(w.shape[3])
+    f = _make_conv_train(H, W, cin_l, cout, interpret)
+    return f(x, w.astype(jnp.float32), b.astype(jnp.float32))
+
+
+def fused_stage_train(
+    x: jnp.ndarray,
+    blocks,
+    *,
+    H: int,
+    W: int,
+    cin: int,
+    channels,
+    strides,
+    eps: float = 1e-5,
+    interpret: bool = False,
+):
+    """One RGB-encoder stage, training mode, on the merged layout.
+
+    x: (B, H, W, cin) (any float dtype); blocks: per-block
+    (w, b, gamma, beta) with w (3, 3, cin_j, ch_j). Per block:
+    conv_train -> batch statistics (f32, biased var — flax BatchNorm
+    semantics over the bf16 conv output, matching the native path's
+    ``x.astype(f32); batch_norm(train=True)``) -> bn_pool with the
+    batch-resolved scale/shift. The stats coupling (d var/d y etc.) is
+    plain XLA autodiff through the scale/shift algebra.
+
+    Returns ((B, Ho, Wo, channels[-1]) bf16, [(mean_j, var_j) ...]).
+    Ref semantics: basicConv.py:6-20 / train-mode BatchNorm2d.
+    """
+    B = x.shape[0]
+    cin_p = _pad_cin(cin)
+    if cin_p != cin:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cin_p - cin)))
+    xm = x.reshape(B, H, W * cin_p).astype(jnp.bfloat16)
+    stats = []
+    for (w, b, gamma, beta), ch, s in zip(blocks, channels, strides):
+        y = conv_train(xm, w, b, H=H, W=W, interpret=interpret)
+        yf = y.astype(jnp.float32)
+        n = B * H * W
+        mean = yf.sum((0, 1)).reshape(W, ch).sum(0) / n
+        mean2 = (yf * yf).sum((0, 1)).reshape(W, ch).sum(0) / n
+        var = mean2 - mean * mean
+        sc = gamma.astype(jnp.float32) * jax.lax.rsqrt(var + eps)
+        sh = beta.astype(jnp.float32) - mean * sc
+        xm = bn_pool(
+            y, sc, sh, H=H, W=W, cout=ch, stride=s, interpret=interpret)
+        stats.append((mean, var))
+        H, W = H // s, W // s
+    return xm.reshape(B, H, W, channels[-1]), stats
+
+
+def unpack_dw(
+    dwp: jnp.ndarray, cin: int, cout: int, P: int = None
+) -> jnp.ndarray:
     """Adjoint of pack_block_weights: (3, K, P*cout) -> (3, 3, cin, cout).
 
     w[kh, kw, ci, co] appears at packed slots (r, p) with r = p + kw for
     every phase p, so its gradient is the sum over that diagonal.
     """
     cin_p = _pad_cin(cin)
-    P = 128 // cin_p
+    if P is None:
+        P = max(128 // cin_p, 128 // cout)
     A = dwp.reshape(3, P + 2, cin_p, P, cout)
     rows = []
     for kw in range(3):
