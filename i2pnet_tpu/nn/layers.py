@@ -23,6 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from i2pnet_tpu.ops import conv_pallas as _cpal
+from i2pnet_tpu.ops import conv_pallas_train as _cpt
 
 # torch BatchNorm defaults: eps 1e-5, running-stat update factor 0.1
 # (flax momentum = 1 - torch momentum).
@@ -46,6 +47,47 @@ def _fused_eval_mode() -> Optional[str]:
     if jax.default_backend() == "tpu":
         return "tpu"
     return "interpret" if mode == "1" else None
+
+
+def _fused_train_mode() -> Optional[str]:
+    """Resolve the I2PNET_FUSED_TRAIN flag (read at trace time).
+
+    "0" (default): native train path.  "1": fused Pallas on TPU,
+    interpret-mode elsewhere.  "auto": compiled Pallas on TPU, native
+    elsewhere.  "interpret": force interpret mode (CPU parity tests).
+    Returns None (native), "tpu", or "interpret".
+    """
+    mode = os.environ.get("I2PNET_FUSED_TRAIN", "0")
+    if mode == "0":
+        return None
+    if mode == "interpret":
+        return "interpret"
+    if jax.default_backend() == "tpu":
+        return "tpu"
+    return "interpret" if mode == "1" else None
+
+
+class _RunningStats(nn.Module):
+    """Holds/updates batch_stats/{mean,var} under this module's name.
+
+    Named ``BatchNorm_j`` it writes the exact variable paths flax's
+    nn.BatchNorm uses, so the fused train path keeps the native
+    checkpoint/restore tree.
+    """
+
+    @nn.compact
+    def __call__(self, mean: jnp.ndarray, var: jnp.ndarray) -> None:
+        mean = jax.lax.stop_gradient(mean)
+        var = jax.lax.stop_gradient(var)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros_like(mean))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones_like(var))
+        if not self.is_initializing():
+            ra_mean.value = (
+                BN_MOMENTUM * ra_mean.value + (1 - BN_MOMENTUM) * mean)
+            ra_var.value = (
+                BN_MOMENTUM * ra_var.value + (1 - BN_MOMENTUM) * var)
 
 
 def _pool3_fwd(x: jnp.ndarray, stride: int) -> jnp.ndarray:
@@ -452,6 +494,21 @@ class RGBEncoderStage(nn.Module):
                 H, W, cin, self.channels, self.strides
             ):
                 return self._fused_eval(x, interpret=(mode == "interpret"))
+        if (
+            train
+            and not self.is_initializing()
+            and self.dtype == jnp.bfloat16
+        ):
+            # train fast path: fused merged-layout Pallas blocks with batch
+            # statistics and a custom VJP (ops/conv_pallas_train.py) —
+            # removes the 128-lane channel-padding HBM traffic in BOTH
+            # directions. Opt-in via I2PNET_FUSED_TRAIN.
+            mode = _fused_train_mode()
+            _, H, W, cin = x.shape
+            if mode is not None and _cpt.stage_supported_train(
+                H, W, cin, self.channels, self.strides
+            ):
+                return self._fused_train(x, interpret=(mode == "interpret"))
         bn_dt = self.dtype if (self.bn_compute_dtype and self.dtype is not None) else None
         for ch, s in zip(self.channels, self.strides):
             x = nn.Conv(
@@ -526,6 +583,42 @@ class RGBEncoderStage(nn.Module):
             strides=self.strides,
             interpret=interpret,
         )
+
+    def _fused_train(self, x: jnp.ndarray, *, interpret: bool) -> jnp.ndarray:
+        """Apply the stage via the fused train-mode Pallas path.
+
+        Reads Conv_j/BatchNorm_j params from the bound variables (grads
+        flow to the same leaves), runs ops/conv_pallas_train.py
+        fused_stage_train (conv custom-VJP + batch-stat BN + bn_pool),
+        and updates batch_stats/BatchNorm_j/{mean,var} with the flax
+        momentum rule via _RunningStats submodules (same tree paths as
+        the native nn.BatchNorm).
+        """
+        params = self.variables["params"]
+        _, H, W, cin = x.shape
+        blocks = [
+            (
+                params[f"Conv_{j}"]["kernel"],
+                params[f"Conv_{j}"]["bias"],
+                params[f"BatchNorm_{j}"]["scale"],
+                params[f"BatchNorm_{j}"]["bias"],
+            )
+            for j in range(len(self.channels))
+        ]
+        out, stats = _cpt.fused_stage_train(
+            x,
+            blocks,
+            H=H,
+            W=W,
+            cin=cin,
+            channels=self.channels,
+            strides=self.strides,
+            eps=BN_EPS,
+            interpret=interpret,
+        )
+        for j, (mean, var) in enumerate(stats):
+            _RunningStats(name=f"BatchNorm_{j}")(mean, var)
+        return out
 
 
 class RGBEncoder(nn.Module):

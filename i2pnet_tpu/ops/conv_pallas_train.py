@@ -55,6 +55,7 @@ __all__ = [
     "bn_pool",
     "conv_train",
     "fused_stage_train",
+    "stage_supported_train",
 ]
 
 _NEG = -3.0e38
@@ -437,53 +438,64 @@ def _bn_pool_bwd_kernel(
     go = jnp.where((gor >= 0) & (gor < Ho), go, jnp.zeros_like(go))
     no = ho + 2
 
+    # the three lane-rolled copies of a, shared by the pooled-value
+    # recompute AND all 9 routing taps (per-tap rolls dominated VMEM)
+    t_m1 = jnp.where(lane >= cout, pltpu.roll(a, cout, axis=1),
+                     jnp.full_like(a, _NEG))       # value from w-1 (kw=0)
+    t_p1 = jnp.where(lane < L - cout, pltpu.roll(a, L - cout, axis=1),
+                     jnp.full_like(a, _NEG))       # value from w+1 (kw=2)
+    t_by_kw = (t_m1, a, t_p1)
+
     def tap(kh, kw):
         """a at conv position (o*s + kh - 1, w_out*s + kw - 1, c) for the
         no out rows starting at o0-1, as an (no, Lo) array."""
-        # lanes: roll so target w lands at position s*w_out, then (s=2)
-        # compact even-w via the selection matmul
-        off = kw - 1
-        if off > 0:
-            t = jnp.where(lane < L - off * cout,
-                          pltpu.roll(a, L - off * cout, axis=1),
-                          jnp.full_like(a, _NEG))
-        elif off < 0:
-            t = jnp.where(lane >= cout,
-                          pltpu.roll(a, cout, axis=1),
-                          jnp.full_like(a, _NEG))
-        else:
-            t = a
+        t = t_by_kw[kw]
         # rows: conv row (o*s + kh - 1) for o = o0-1 .. o0+ho; relative to
-        # a's first row (row0-4): idx = (o - o0)*s + kh - 1 + 4 - ? ... base
-        # for o = o0-1: (o0-1)*s + kh - 1 - (row0 - 4) = kh + 3 - s
+        # a's first row (row0-4): base for o = o0-1 is kh + 3 - s
         base = kh + 3 - stride
         if stride == 1:
-            r = t[base:base + no]
-        else:
-            # rows base, base+2, ...: pair rows and pick the parity
-            tb = t[base:base + 2 * no]
-            tb = tb.reshape(no, 2, L)[:, 0, :]
-            r = tb
-        if stride == 2:
-            rb = r.astype(jnp.bfloat16)
-            m = rb.reshape(no * (L // 256), 256)
-            r = jax.lax.dot_general(
-                m, sel_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).reshape(no, Lo)
-            # the selection matmul turns -NEG pad into 0 only for lanes
-            # whose source was dropped; dropped lanes never matter (they
-            # correspond to odd-w outputs that don't exist)
-        return r
+            return t[base:base + no]
+        # rows base, base+2, ...: pair rows, pick the parity, then compact
+        # even-w lanes via the selection matmul (exact for bf16 values;
+        # -NEG pad only lands on dropped odd-w lanes)
+        tb = t[base:base + 2 * no].reshape(no, 2, L)[:, 0, :]
+        m = tb.astype(jnp.bfloat16).reshape(no * (L // 256), 256)
+        return jax.lax.dot_general(
+            m, sel_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(no, Lo)
+
+    # pooled values on the out halo rows, forward-style (3 maxes over the
+    # shared rolled buffers instead of materializing all 9 taps)
+    wmax = jnp.maximum(a, jnp.maximum(t_m1, t_p1))  # (rows, L)
+    if stride == 1:
+        # out row j (abs o0-1+j) <- conv rows at a-indices j+2, j+3, j+4
+        out_val = jnp.maximum(
+            wmax[2:2 + no],
+            jnp.maximum(wmax[3:3 + no], wmax[4:4 + no]))
+    else:
+        # out row j <- a-indices 2j+1, 2j+2, 2j+3; pair rows by parity
+        half = rows // 2
+        paired = wmax.reshape(half, 2, L)
+        ev, od = paired[:, 0, :], paired[:, 1, :]
+        m = jnp.maximum(
+            od[0:no], jnp.maximum(ev[1:1 + no], od[1:1 + no]))
+        mb = m.astype(jnp.bfloat16).reshape(no * (L // 256), 256)
+        out_val = jax.lax.dot_general(
+            mb, sel_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(no, Lo)
 
     taps = [(kh, kw) for kh in range(3) for kw in range(3)]
-    out_val = jnp.full((no, Lo), _NEG, jnp.float32)
-    for kh, kw in taps:
-        out_val = jnp.maximum(out_val, tap(kh, kw))
 
-    dz_acc = jnp.zeros((htc, L), jnp.float32)
+    if stride == 1:
+        dz_acc = jnp.zeros((htc, L), jnp.float32)
+    else:
+        # parity-split accumulators; interleaved once at the end (building
+        # the interleave inside the loop cost ~3 (htc, L) temps per tap)
+        dz_ev = jnp.zeros((htc // 2, L), jnp.float32)
+        dz_od = jnp.zeros((htc // 2, L), jnp.float32)
     seen = jnp.zeros((no, Lo), jnp.float32)  # 1.0 once a tie was routed
-    olane = jax.lax.broadcasted_iota(jnp.int32, (1, Lo), 1)
     for kh, kw in taps:
         t = tap(kh, kw)
         m = (t == out_val) & (t > _NEG / 2)
@@ -532,20 +544,21 @@ def _bn_pool_bwd_kernel(
             dz_acc = dz_acc + place(c_exp, htc, lo, hi, lo + sh)
         else:
             # out index j -> conv row r = 2j + kh - 3 relative to row0;
-            # split by parity and interleave (htc/2, 2, L) -> (htc, L)
+            # accumulate into the parity half
             sh = kh - 3  # r = 2j + sh
             jlo = max(0, (-sh + 1) // 2)
             jhi = min(no, (htc - sh + 1) // 2)
             half = htc // 2
             if sh % 2 == 0:
-                ev = place(c_exp, half, jlo, jhi, (2 * jlo + sh) // 2)
-                od = jnp.zeros((half, L), jnp.float32)
+                dz_ev = dz_ev + place(
+                    c_exp, half, jlo, jhi, (2 * jlo + sh) // 2)
             else:
-                od = place(c_exp, half, jlo, jhi, (2 * jlo + sh - 1) // 2)
-                ev = jnp.zeros((half, L), jnp.float32)
-            inter = jnp.concatenate(
-                [ev[:, None, :], od[:, None, :]], axis=1).reshape(htc, L)
-            dz_acc = dz_acc + inter
+                dz_od = dz_od + place(
+                    c_exp, half, jlo, jhi, (2 * jlo + sh - 1) // 2)
+
+    if stride == 2:
+        dz_acc = jnp.concatenate(
+            [dz_ev[:, None, :], dz_od[:, None, :]], axis=1).reshape(htc, L)
 
     # dz = da * lrelu'(z) on the main rows; z for main rows is a[4:4+htc]
     zmain = (ym_ref[0].astype(jnp.float32) * sc_ref[0] + sh_ref[0])
@@ -557,11 +570,26 @@ def _bn_pool_bwd_p(y, sc_lane, sh_lane, g, *, H, W, cout, stride, htc,
     B = y.shape[0]
     L = W * cout
     Lo = (W // stride) * cout
-    htc = _pick_ht(H, htc)
-    if stride == 2:
-        while htc > 1 and not (
-                htc % 2 == 0 and ((htc // 2) % 8 == 0 or htc // 2 == H // 2)):
-            htc = _pick_ht(H, htc - 1)
+    # Tile selection. Mosaic block rule: rows divisible by 8 or equal to
+    # the full dimension, for BOTH the conv blocks (htc rows) and the
+    # pooled-grad blocks (htc//stride rows). VMEM cap is a soft
+    # preference (the routing loop holds several (htc, L)-scale f32
+    # temps; at L=20480 an htc=16 tile measured 18.75M before the
+    # forward-style out_val rewrite) — if no legal tile fits the cap,
+    # take the smallest legal one.
+    Ho_ = H // stride
+    cap = max(4, 250_000 // L)
+    valid = [
+        c for c in range(4, H + 1)
+        if H % c == 0 and c % stride == 0
+        and (c % 8 == 0 or c == H)
+        and ((c // stride) % 8 == 0 or c // stride == Ho_)
+    ]
+    if not valid:
+        raise ValueError(
+            f"no valid pool-backward tile for H={H}, L={L}, stride={stride}")
+    within = [c for c in valid if c <= min(htc, cap)]
+    htc = max(within) if within else min(valid)
     ho = htc // stride
     ni = H // htc
     sel = jnp.asarray(_even_selector(cout), jnp.bfloat16)
@@ -604,8 +632,60 @@ def _bn_pool_bwd_p(y, sc_lane, sh_lane, g, *, H, W, cout, stride, htc,
     )(sc_lane, sh_lane, sel, selT, y, y, y, g, g, g)
 
 
+def _bn_pool_native_merged(y, sc_lane, sh_lane, *, H, W, cout, stride):
+    """Differentiable native-XLA bn_pool on the merged (B, H, W*cout)
+    layout: scale/shift -> LeakyReLU -> bf16 -> 3x3/stride max-pool built
+    from pad/slice lane+row shifts, a max tree, and strided subsampling.
+
+    Forward values bit-match the Pallas kernel (same max sets, same bf16
+    cast point). Used as the BACKWARD formulation for blocks where the
+    Pallas routing kernel exceeds the 16M scoped-VMEM limit: everything
+    stays dense (no 128-lane channel padding) and XLA autodiffs it. Tie
+    gradients split evenly across tied window slots (jnp.maximum
+    convention) instead of select_and_scatter's first-max — an equally
+    valid subgradient; documented divergence from the reference on exact
+    bf16 ties only.
+    """
+    B = y.shape[0]
+    L = W * cout
+    neg = jnp.float32(_NEG)
+    z = y.astype(jnp.float32) * sc_lane + sh_lane
+    a = jnp.where(z >= 0, z, 0.1 * z)
+    # straight-through bf16 rounding: primal values match the Pallas
+    # forward's cast, but the cotangent stays f32 (a plain astype would
+    # round dz to bf16 mid-chain; the Pallas backward keeps f32)
+    a = a + jax.lax.stop_gradient(
+        a.astype(jnp.bfloat16).astype(jnp.float32) - a)
+    wl = jnp.pad(a[:, :, :-cout], ((0, 0), (0, 0), (cout, 0)),
+                 constant_values=neg)
+    wr = jnp.pad(a[:, :, cout:], ((0, 0), (0, 0), (0, cout)),
+                 constant_values=neg)
+    wmax = jnp.maximum(a, jnp.maximum(wl, wr))
+    up = jnp.pad(wmax[:, :-1], ((0, 0), (1, 0), (0, 0)),
+                 constant_values=neg)
+    dn = jnp.pad(wmax[:, 1:], ((0, 0), (0, 1), (0, 0)),
+                 constant_values=neg)
+    rmax = jnp.maximum(wmax, jnp.maximum(up, dn))
+    out = rmax[:, ::stride, :]
+    if stride == 2:
+        Ho = H // 2
+        out = out.reshape(B, Ho, W, cout)[:, :, ::2, :].reshape(
+            B, Ho, (W // 2) * cout)
+    return out.astype(jnp.bfloat16)
+
+
+def _pallas_bwd_fits(H, W, cout, stride, htc):
+    """Whether the Pallas pool-backward's scoped-VMEM stack fits.
+
+    Empirical: the stage-1 stride-2 block (L=20480, htc=16) measured
+    19.3M against the 16M limit; ~10 (htc+8, L) f32 temps live at peak.
+    """
+    L = W * cout
+    return 10 * L * (htc + 8) * 4 <= 15_000_000
+
+
 @functools.lru_cache(maxsize=None)
-def _make_bn_pool(H, W, cout, stride, ht_out, htc, interpret):
+def _make_bn_pool(H, W, cout, stride, ht_out, htc, interpret, bwd):
     """custom_vjp'd (y, scale_c, shift_c) -> pooled out for fixed shapes.
 
     y: (B, H, W*cout) bf16 conv output (bias included);
@@ -628,7 +708,7 @@ def _make_bn_pool(H, W, cout, stride, ht_out, htc, interpret):
     def f_fwd(y, scale_c, shift_c):
         return fwd_only(y, scale_c, shift_c), (y, scale_c, shift_c)
 
-    def f_bwd(res, g):
+    def f_bwd_pallas(res, g):
         y, scale_c, shift_c = res
         sc = jnp.tile(scale_c, W)[None, :]
         sh = jnp.tile(shift_c, W)[None, :]
@@ -641,7 +721,22 @@ def _make_bn_pool(H, W, cout, stride, ht_out, htc, interpret):
         dsh = jnp.sum(dz, axis=(0, 1)).reshape(W, cout).sum(0)
         return dy, dsc, dsh
 
-    f.defvjp(f_fwd, f_bwd)
+    def f_bwd_native(res, g):
+        y, scale_c, shift_c = res
+        sc = jnp.tile(scale_c, W)[None, :]
+        sh = jnp.tile(shift_c, W)[None, :]
+        _, vjp = jax.vjp(
+            lambda yy, a, b: _bn_pool_native_merged(
+                yy, a, b, H=H, W=W, cout=cout, stride=stride),
+            y, sc, sh)
+        dy, dsc_l, dsh_l = vjp(g.astype(jnp.bfloat16))
+        return (
+            dy.astype(y.dtype),
+            dsc_l.reshape(W, cout).sum(0),
+            dsh_l.reshape(W, cout).sum(0),
+        )
+
+    f.defvjp(f_fwd, f_bwd_native if bwd == "native" else f_bwd_pallas)
     return f
 
 
@@ -657,11 +752,21 @@ def bn_pool(
     ht_out: int = 16,
     htc: int = 16,
     interpret: bool = False,
+    bwd: str = "auto",
 ) -> jnp.ndarray:
     """BN affine (per-channel scale/shift) -> LeakyReLU(0.1) -> bf16 ->
-    3x3/stride max-pool on the merged layout, differentiable (first-max
-    tie routing in the pool backward, matching XLA select_and_scatter)."""
-    f = _make_bn_pool(H, W, cout, stride, ht_out, htc, interpret)
+    3x3/stride max-pool on the merged layout, differentiable.
+
+    bwd: "pallas" — first-max tie routing matching select_and_scatter;
+    "native" — XLA autodiff of the merged-layout max-tree formulation
+    (even tie split; no scoped-VMEM limit); "auto" — pallas where its
+    routing kernel fits scoped VMEM, native for the widest blocks.
+    """
+    if bwd == "auto":
+        bwd = (
+            "pallas" if _pallas_bwd_fits(H, W, cout, stride, htc)
+            else "native")
+    f = _make_bn_pool(H, W, cout, stride, ht_out, htc, interpret, bwd)
     return f(y, scale_c.astype(jnp.float32), shift_c.astype(jnp.float32))
 
 
@@ -736,6 +841,28 @@ def conv_train(
     cin_l, cout = int(w.shape[2]), int(w.shape[3])
     f = _make_conv_train(H, W, cin_l, cout, interpret)
     return f(x, w.astype(jnp.float32), b.astype(jnp.float32))
+
+
+def stage_supported_train(
+    H: int, W: int, cin: int, channels, strides,
+) -> bool:
+    """True if every block satisfies the TRAIN kernels' layout constraints:
+    stride in {1, 2} dividing H and W; inter-block channel counts dividing
+    128; W divisible by both the forward and dx phase counts; stride-2
+    pooling needs (W*ch) % 256 == 0 (the even-w selection matmul) and the
+    pool-backward tile slicing needs H >= 4 at every block."""
+    for ch, s in zip(channels, strides):
+        cin_p = _pad_cin(cin)
+        if 128 % ch:
+            return False
+        Pf = max(128 // cin_p, 128 // ch)
+        Pt = max(128 // ch, 128 // cin_p)
+        if s not in (1, 2) or H % s or W % s or W % Pf or W % Pt or H < 4:
+            return False
+        if s == 2 and (W * ch) % 256:
+            return False
+        H, W, cin = H // s, W // s, ch
+    return True
 
 
 def fused_stage_train(

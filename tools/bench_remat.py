@@ -107,7 +107,7 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default="r2,remat,bn,remat_bn",
-                    help="comma list: r2,remat,bn,remat_bn,bn_allties")
+                    help="comma list: r2,remat,bn,remat_bn,bn_allties,fused")
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
     print(f"backend: {jax.default_backend()} devices: {jax.devices()}", flush=True)
@@ -127,6 +127,10 @@ def main():
         bench_variant("bf16_bn+allties", iters=it,
                       encoder_bn_compute_dtype=True,
                       env={"I2PNET_POOL_ALLTIES": "1"})
+    if "fused" in v:
+        # merged-layout Pallas conv+BN+pool train path (conv_pallas_train)
+        bench_variant("fused_train", iters=it,
+                      env={"I2PNET_FUSED_TRAIN": "1"})
 
 
 if __name__ == "__main__":
