@@ -31,15 +31,15 @@ BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
 
 
-def _fused_eval_mode() -> Optional[str]:
-    """Resolve the I2PNET_FUSED_EVAL flag (read at trace time).
+def _fused_mode(env_name: str, default: str) -> Optional[str]:
+    """Resolve a fused-path env flag (read at trace time).
 
-    "auto" (default): compiled Pallas on TPU, native elsewhere.
-    "0": always native.  "1": Pallas on TPU, interpret-mode elsewhere.
-    "interpret": force interpret mode (CPU parity tests).
+    Values: "auto" — compiled Pallas on TPU, native elsewhere;
+    "0" — always native; "1" — Pallas on TPU, interpret-mode elsewhere;
+    "interpret" — force interpret mode (CPU parity tests).
     Returns None (native), "tpu", or "interpret".
     """
-    mode = os.environ.get("I2PNET_FUSED_EVAL", "auto")
+    mode = os.environ.get(env_name, default)
     if mode == "0":
         return None
     if mode == "interpret":
@@ -47,24 +47,14 @@ def _fused_eval_mode() -> Optional[str]:
     if jax.default_backend() == "tpu":
         return "tpu"
     return "interpret" if mode == "1" else None
+
+
+def _fused_eval_mode() -> Optional[str]:
+    return _fused_mode("I2PNET_FUSED_EVAL", "auto")
 
 
 def _fused_train_mode() -> Optional[str]:
-    """Resolve the I2PNET_FUSED_TRAIN flag (read at trace time).
-
-    "0" (default): native train path.  "1": fused Pallas on TPU,
-    interpret-mode elsewhere.  "auto": compiled Pallas on TPU, native
-    elsewhere.  "interpret": force interpret mode (CPU parity tests).
-    Returns None (native), "tpu", or "interpret".
-    """
-    mode = os.environ.get("I2PNET_FUSED_TRAIN", "0")
-    if mode == "0":
-        return None
-    if mode == "interpret":
-        return "interpret"
-    if jax.default_backend() == "tpu":
-        return "tpu"
-    return "interpret" if mode == "1" else None
+    return _fused_mode("I2PNET_FUSED_TRAIN", "0")
 
 
 class _RunningStats(nn.Module):

@@ -44,7 +44,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from i2pnet_tpu.ops.conv_pallas import _pad_cin, pack_block_weights
+from i2pnet_tpu.ops.conv_pallas import (
+    _even_w_selector as _even_selector,
+    _pad_cin,
+    pack_block_weights,
+)
 
 __all__ = [
     "conv_phase",
@@ -294,15 +298,6 @@ def conv_phase_dw(
     )(x, x, x, dy)
 
 
-def _even_selector(cout: int) -> np.ndarray:
-    """(256, 128) 0/1 matrix compacting the even-w half of a 256-lane
-    merged (w, c) group into 128 lanes (exact as a bf16/f32 matmul)."""
-    S = np.zeros((256, 128), np.float32)
-    for lp in range(128):
-        S[2 * (lp // cout) * cout + (lp % cout), lp] = 1.0
-    return S
-
-
 def _bn_pool_kernel(
     sc_ref, sh_ref, sel_ref, prev_ref, main_ref, next_ref, out_ref,
     *, H: int, W: int, cout: int, stride: int, ht_out: int,
@@ -357,10 +352,9 @@ def _bn_pool_fwd_p(y, sc_lane, sh_lane, *, H, W, cout, stride, ht_out,
     B = y.shape[0]
     Ho = H // stride
     ht_out = _pick_ht(Ho, ht_out)
-    # the input tile (ht_in rows) must also satisfy Mosaic's row rules
-    while ht_out > 1 and not (
-            (ht_out * stride) % 8 == 0 or ht_out * stride == H):
-        ht_out = _pick_ht(Ho, ht_out - 1)
+    # the input tile ht_in = ht_out*stride also satisfies Mosaic's row
+    # rules automatically: _pick_ht returns ht_out % 8 == 0 (then ht_in
+    # is a multiple of 8 for stride 1/2) or ht_out == Ho (then ht_in == H)
     ht_in = ht_out * stride
     ni = H // ht_in
     in_block = (1, ht_in, W * cout)
@@ -570,26 +564,10 @@ def _bn_pool_bwd_p(y, sc_lane, sh_lane, g, *, H, W, cout, stride, htc,
     B = y.shape[0]
     L = W * cout
     Lo = (W // stride) * cout
-    # Tile selection. Mosaic block rule: rows divisible by 8 or equal to
-    # the full dimension, for BOTH the conv blocks (htc rows) and the
-    # pooled-grad blocks (htc//stride rows). VMEM cap is a soft
-    # preference (the routing loop holds several (htc, L)-scale f32
-    # temps; at L=20480 an htc=16 tile measured 18.75M before the
-    # forward-style out_val rewrite) — if no legal tile fits the cap,
-    # take the smallest legal one.
-    Ho_ = H // stride
-    cap = max(4, 250_000 // L)
-    valid = [
-        c for c in range(4, H + 1)
-        if H % c == 0 and c % stride == 0
-        and (c % 8 == 0 or c == H)
-        and ((c // stride) % 8 == 0 or c // stride == Ho_)
-    ]
-    if not valid:
+    htc = _pick_bwd_tile(H, L, stride, htc)
+    if htc is None:
         raise ValueError(
             f"no valid pool-backward tile for H={H}, L={L}, stride={stride}")
-    within = [c for c in valid if c <= min(htc, cap)]
-    htc = max(within) if within else min(valid)
     ho = htc // stride
     ni = H // htc
     sel = jnp.asarray(_even_selector(cout), jnp.bfloat16)
@@ -674,14 +652,39 @@ def _bn_pool_native_merged(y, sc_lane, sh_lane, *, H, W, cout, stride):
     return out.astype(jnp.bfloat16)
 
 
-def _pallas_bwd_fits(H, W, cout, stride, htc):
-    """Whether the Pallas pool-backward's scoped-VMEM stack fits.
+def _pick_bwd_tile(H, L, stride, htc):
+    """The conv-row tile height _bn_pool_bwd_p will actually use.
 
-    Empirical: the stage-1 stride-2 block (L=20480, htc=16) measured
-    19.3M against the 16M limit; ~10 (htc+8, L) f32 temps live at peak.
+    Mosaic block rule: rows divisible by 8 or equal to the full
+    dimension, for BOTH the conv blocks (tile rows) and the pooled-grad
+    blocks (tile//stride rows). The VMEM cap is a soft preference (the
+    routing loop holds several (tile, L)-scale f32 temps; at L=20480 a
+    16-row tile measured 18.75M before the forward-style out_val
+    rewrite) — if no legal tile fits the cap, the smallest legal one is
+    used anyway. Returns None when no legal tile exists.
     """
-    L = W * cout
-    return 10 * L * (htc + 8) * 4 <= 15_000_000
+    Ho_ = H // stride
+    cap = max(4, 250_000 // L)
+    valid = [
+        c for c in range(4, H + 1)
+        if H % c == 0 and c % stride == 0
+        and (c % 8 == 0 or c == H)
+        and ((c // stride) % 8 == 0 or c // stride == Ho_)
+    ]
+    if not valid:
+        return None
+    within = [c for c in valid if c <= min(htc, cap)]
+    return max(within) if within else min(valid)
+
+
+def _pallas_bwd_fits(L, tile):
+    """Whether the Pallas pool-backward's scoped-VMEM stack fits at the
+    tile _pick_bwd_tile selected.
+
+    Empirical: the stage-1 stride-2 block (L=20480, tile=16) measured
+    19.3M against the 16M limit; ~10 (tile+8, L) f32 temps live at peak.
+    """
+    return 10 * L * (tile + 8) * 4 <= 15_000_000
 
 
 @functools.lru_cache(maxsize=None)
@@ -763,8 +766,13 @@ def bn_pool(
     routing kernel fits scoped VMEM, native for the widest blocks.
     """
     if bwd == "auto":
+        # judge the VMEM fit with the tile the backward will ACTUALLY use
+        # (the picker can be forced above the requested htc when no
+        # smaller legal tile exists)
+        tile = _pick_bwd_tile(H, W * cout, stride, htc)
         bwd = (
-            "pallas" if _pallas_bwd_fits(H, W, cout, stride, htc)
+            "pallas"
+            if tile is not None and _pallas_bwd_fits(W * cout, tile)
             else "native")
     f = _make_bn_pool(H, W, cout, stride, ht_out, htc, interpret, bwd)
     return f(y, scale_c.astype(jnp.float32), shift_c.astype(jnp.float32))

@@ -29,8 +29,33 @@ from i2pnet_tpu.ops.conv_pallas_train import (
     conv_phase_dw,
     flip_transpose_kernel,
     pack_block_weights,
+    stage_supported_train,
     unpack_dw,
 )
+
+
+def test_stage_supported_train_predicate():
+    # the shipped free-point config at 384x1280 must take the fused train
+    # path at every stage (the perf win depends on it; a predicate edit
+    # that starts rejecting these shapes would silently fall back native)
+    stages = (
+        (3, (16, 16, 16, 16, 32), (2, 1, 1, 1, 2)),
+        (32, (32, 32, 32, 32, 64), (2, 1, 1, 1, 2)),
+        (64, (64, 64, 64, 64, 128), (1, 1, 1, 1, 2)),
+    )
+    for (H, W) in ((384, 1280), (160, 512)):
+        h, w = H, W
+        for cin, chans, strides in stages:
+            assert stage_supported_train(h, w, cin, chans, strides), (h, w)
+            for s in strides:
+                h, w = h // s, w // s
+    # the shipped proj config (W=1800) fails the phase-count divisibility
+    # at stage 0/1 and must report unsupported (native fallback, not a
+    # compile error)
+    assert not stage_supported_train(64, 1800, 3, stages[0][1], stages[0][2])
+    # W not divisible by the dx phase count; odd H under stride 2
+    assert not stage_supported_train(16, 12, 16, (16,), (1,))
+    assert not stage_supported_train(15, 32, 16, (16,), (2,))
 
 
 def merge(x4):
