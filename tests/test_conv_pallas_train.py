@@ -84,6 +84,7 @@ CONV_CASES = [
     (2, 16, 64, 16, 32),
     (1, 16, 32, 32, 16),
     (1, 16, 16, 64, 64),
+    (1, 8, 16, 64, 128),  # production stage-2 widening block (P=2)
 ]
 
 
@@ -230,6 +231,8 @@ BN_CASES = [
     (2, 16, 32, 8, 1, False, "native"),
     (2, 16, 32, 8, 2, False, "native"),
     (1, 16, 64, 32, 2, False, "native"),
+    # production stage-2 tail: cout=128, stride 2 (pallas bwd at this L)
+    (1, 8, 16, 128, 2, False, "pallas"),
 ]
 
 
