@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Bisect the free-point train step's backward cost by param subtree.
+"""Bisect a train step's backward cost by param subtree (free-point
+default; --proj for the projection family).
 
 jax.grad w.r.t. a SUBSET of params only backprops to those params'
 producing ops (XLA DCEs the rest of the reverse graph), so timing
@@ -40,6 +41,9 @@ GROUPS = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--proj", action="store_true",
+                    help="decompose the projection-family train step "
+                         "(150k-pt cloud, 64x1800 grid) instead of free-point")
     args = ap.parse_args()
 
     import jax
@@ -52,10 +56,14 @@ def main():
 
     import jax.numpy as jnp
 
-    from i2pnet_tpu.config import I2PNetConfig
-    from i2pnet_tpu.models import I2PNet
+    from i2pnet_tpu.config import I2PNetConfig, I2PNetProjConfig
+    from i2pnet_tpu.models import I2PNet, I2PNetProj
     from i2pnet_tpu.train import create_train_state, make_train_step
-    from i2pnet_tpu.train.step import _free_point_loss_fn
+    from i2pnet_tpu.train.step import (
+        _free_point_loss_fn,
+        _proj_loss_fn,
+        make_train_step_proj,
+    )
 
     def sync(x):
         return np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[0]))
@@ -73,27 +81,52 @@ def main():
         print(f"{tag:36s} {ms:8.2f} ms  (first {compile_s:5.1f} s)", flush=True)
         return ms
 
-    cfg = dataclasses.replace(I2PNetConfig(), compute_dtype="bfloat16")
-    model = I2PNet(cfg)
     rng = np.random.default_rng(0)
     B = args.batch
-    rgb = jnp.asarray(rng.normal(size=(B, 384, 1280, 3)).astype(np.float32))
-    lidar = jnp.asarray(
-        rng.uniform(-10, 10, size=(B, cfg.lidar_in_points, 3)).astype(np.float32)
-    ) + jnp.asarray([0.0, 0.0, 20.0])
-    intr = jnp.tile(
-        jnp.asarray([[[718.0, 0, 640], [0, 718.0, 192], [0, 0, 1]]], jnp.float32),
-        (B, 1, 1),
-    )
-    variables = model.init(jax.random.key(0), rgb, lidar, intr, train=False)
-    batch = {
-        "rgb": rgb, "lidar": lidar, "intrinsic": intr,
-        "decalib_q_gt": jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (B, 1)),
-        "decalib_t_gt": jnp.zeros((B, 3)),
-    }
+    if args.proj:
+        cfg = I2PNetProjConfig()
+        model = I2PNetProj(cfg)
+        N = 150000
+        raw_np = rng.normal(size=(B, N, 3)).astype(np.float32) * 15
+        raw_np[:, 120000:] = 0.0  # zero-pad tail like the real loader
+        raw = jnp.asarray(raw_np)
+        lidar = raw
+        rgb = jnp.asarray(rng.normal(size=(B, 160, 512, 3)).astype(np.float32))
+        intr = jnp.tile(
+            jnp.asarray([[[350.0, 0, 256], [0, 350.0, 80], [0, 0, 1]]],
+                        jnp.float32),
+            (B, 1, 1),
+        )
+        variables = model.init(
+            jax.random.key(0), rgb, lidar, raw, intr, train=False)
+        batch = {
+            "rgb": rgb, "lidar": lidar, "raw_xyz": raw, "intrinsic": intr,
+            "decalib_q_gt": jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (B, 1)),
+            "decalib_t_gt": jnp.zeros((B, 3)),
+        }
+        loss_fn = _proj_loss_fn(model, cfg)
+        make_step = lambda: make_train_step_proj(model, cfg)
+    else:
+        cfg = dataclasses.replace(I2PNetConfig(), compute_dtype="bfloat16")
+        model = I2PNet(cfg)
+        rgb = jnp.asarray(rng.normal(size=(B, 384, 1280, 3)).astype(np.float32))
+        lidar = jnp.asarray(
+            rng.uniform(-10, 10, size=(B, cfg.lidar_in_points, 3)).astype(np.float32)
+        ) + jnp.asarray([0.0, 0.0, 20.0])
+        intr = jnp.tile(
+            jnp.asarray([[[718.0, 0, 640], [0, 718.0, 192], [0, 0, 1]]], jnp.float32),
+            (B, 1, 1),
+        )
+        variables = model.init(jax.random.key(0), rgb, lidar, intr, train=False)
+        batch = {
+            "rgb": rgb, "lidar": lidar, "intrinsic": intr,
+            "decalib_q_gt": jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (B, 1)),
+            "decalib_t_gt": jnp.zeros((B, 3)),
+        }
+        loss_fn = _free_point_loss_fn(model, cfg)
+        make_step = lambda: make_train_step(model, cfg)
     params = variables["params"]
     batch_stats = variables["batch_stats"]
-    loss_fn = _free_point_loss_fn(model, cfg)
     key = jax.random.key(0)
     step0 = jnp.int32(0)
 
@@ -133,7 +166,7 @@ def main():
 
     # full train step (+Adam/clip)
     state = create_train_state(model, variables, steps_per_epoch=100)
-    step = jax.jit(make_train_step(model, cfg), donate_argnums=(0,))
+    step = jax.jit(make_step(), donate_argnums=(0,))
     t_c = time.perf_counter()
     state, m = step(state, batch, key)
     sync(m["loss"])
