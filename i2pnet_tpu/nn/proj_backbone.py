@@ -25,7 +25,7 @@ from i2pnet_tpu.nn.layers import PointwiseConv, PointwiseMLP
 from i2pnet_tpu.ops.pointops import grouping, safe_norm
 from i2pnet_tpu.ops.projection import (
     check_valid,
-    select_window_features,
+    select_window_features_packed,
     strided_downsample,
     window_neighbor_select_grid,
 )
@@ -82,11 +82,11 @@ class ProjectPointNet(nn.Module):
             self.nsample, stride=(1, 1), distance=self.distance, shift=True,
             copy=True,
         )
-        grouped_points = select_window_features(feature, args, **wargs)
-
         src = xyz_raw if raw_feat_point else xyz
         ctr = new_xyz_raw if raw_feat_point else new_xyz
-        grouped_xyz = select_window_features(src, args, **wargs)
+        # one packed candidate stack + gather for both tensors
+        grouped_points, grouped_xyz = select_window_features_packed(
+            [feature, src], args, **wargs)
         grouped_norm = grouped_xyz - ctr.reshape(B, N, 1, 3)
 
         if center_mode:
@@ -162,13 +162,11 @@ class ProjSetUpconv(nn.Module):
             stride=(self.stride_h, self.stride_w), distance=self.distance,
             shift=True, copy=True,
         )
-        if raw_feat_point:
-            grouped_xyz = select_window_features(xyz2_raw, args, **wargs)
-            diff = grouped_xyz - xyz1_raw.reshape(B, N, 1, 3)
-        else:
-            grouped_xyz = select_window_features(xyz2, args, **wargs)
-            diff = grouped_xyz - xyz1.reshape(B, N, 1, 3)
-        grouped_feat2 = select_window_features(feat2, args, **wargs)
+        src2 = xyz2_raw if raw_feat_point else xyz2
+        ctr1 = xyz1_raw if raw_feat_point else xyz1
+        grouped_xyz, grouped_feat2 = select_window_features_packed(
+            [src2, feat2], args, **wargs)
+        diff = grouped_xyz - ctr1.reshape(B, N, 1, 3)
         if dist_mode:
             # distance-only geometry (ref PPBackbone_dist.py:295-297)
             geom = safe_norm(diff, axis=-1, keepdims=True)
@@ -292,9 +290,9 @@ class ProjCostVolume(nn.Module):
             self.nsample, stride=(1, 1), distance=self.distance, shift=True,
             copy=False,
         )
-        pc_xyz_grouped = select_window_features(warped_grid, args, **wargs)
-        pc_points_grouped = select_window_features(
-            pi_feat1_new.reshape(B, self.H, self.W, -1), args, **wargs
+        pc_xyz_grouped, pc_points_grouped = select_window_features_packed(
+            [warped_grid, pi_feat1_new.reshape(B, self.H, self.W, -1)],
+            args, **wargs,
         )
         pc_xyz_new = jnp.broadcast_to(
             warped_xyz[:, :, None, :], (B, N, self.nsample, 3)

@@ -499,6 +499,29 @@ def select_window_features(
     return jnp.take_along_axis(candidates, args[..., None], axis=2)
 
 
+def select_window_features_packed(
+    feat_grids: Sequence[jnp.ndarray],
+    args: jnp.ndarray,
+    **wargs,
+) -> List[jnp.ndarray]:
+    """select_window_features over several same-grid feature tensors with
+    ONE candidate stack + gather: channel-concat the grids, select, split.
+
+    Equal to per-tensor calls (take_along_axis is per-channel independent)
+    but builds the khw-slot candidate stack once instead of once per
+    tensor — the stack construction, not the K-gather, carries the HBM
+    traffic at the wide pyramid levels.
+    """
+    packed = jnp.concatenate(list(feat_grids), axis=-1)
+    picked = select_window_features(packed, args, **wargs)
+    outs, off = [], 0
+    for f in feat_grids:
+        c = f.shape[-1]
+        outs.append(picked[..., off:off + c])
+        off += c
+    return outs
+
+
 def pixel_posinfo(B: int, H: int, W: int, intrinsic: jnp.ndarray) -> jnp.ndarray:
     """Normalized-plane coordinates of every pixel center: K^-1 @ [u, v, 1]
     (ref src/projectPN/utils.py:297-308 get_pixel_posinfo). Returns
