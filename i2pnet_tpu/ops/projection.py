@@ -25,6 +25,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _INVALID_DIST = 1e10
 
@@ -322,6 +323,52 @@ def window_neighbor_select(
     return h_sel, w_sel, mask[..., None].astype(jnp.float32)
 
 
+def _window_bounds(out_h, out_w, qstride, stride, kernel_size, h2, w2, shift):
+    """in_bounds (out_h*out_w, kh*kw) for window_candidates' slot order."""
+    kh, kw = kernel_size
+    ch = (np.arange(out_h) * qstride[0]) // stride[0]
+    cw = (np.arange(out_w) * qstride[1]) // stride[1]
+    rows = ch[:, None] + (np.arange(kh) - kh // 2)[None, :]
+    cols = cw[:, None] + (np.arange(kw) - kw // 2)[None, :]
+    row_ok = (rows >= 0) & (rows < h2)
+    col_ok = np.ones_like(cols, bool) if shift else (cols >= 0) & (cols < w2)
+    return jnp.asarray(
+        (row_ok[:, None, :, None] & col_ok[None, :, None, :]).reshape(
+            out_h * out_w, kh * kw
+        )
+    )
+
+
+def _window_candidates_stack(src, out_h, out_w, qstride, kernel_size, shift):
+    """Slot-stacked candidate builder for stride == (1, 1): pad the grid
+    (rows edge-clamped == the clip semantics, cols wrapped/clamped) and
+    take one STATIC strided slice per (dh, dw) slot, stacked directly in
+    the (B, N, khw, C) target order — no 6-D transpose, no take gathers.
+    Opt-in via I2PNET_WC_STACK=1 pending an in-situ TPU A/B."""
+    B, h2, w2, C = src.shape
+    kh, kw = kernel_size
+    qh, qw = qstride
+    padded = jnp.pad(src, ((0, 0), (kh // 2, kh // 2), (0, 0), (0, 0)),
+                     mode="edge")
+    padded = jnp.pad(padded, ((0, 0), (0, 0), (kw // 2, kw // 2), (0, 0)),
+                     mode="wrap" if shift else "edge")
+    slots = []
+    for dh in range(kh):
+        for dw in range(kw):
+            slots.append(
+                jax.lax.slice(
+                    padded,
+                    (0, dh, dw, 0),
+                    (B, dh + (out_h - 1) * qh + 1, dw + (out_w - 1) * qw + 1, C),
+                    (1, qh, qw, 1),
+                )
+            )
+    cand = jnp.stack(slots, axis=3).reshape(B, out_h * out_w, kh * kw, C)
+    in_bounds = _window_bounds(
+        out_h, out_w, qstride, (1, 1), kernel_size, h2, w2, shift)
+    return cand, in_bounds
+
+
 def window_candidates(
     src: jnp.ndarray,
     out_h: int,
@@ -344,6 +391,9 @@ def window_candidates(
     """
     B, h2, w2, C = src.shape
     kh, kw = kernel_size
+    if stride == (1, 1) and os.environ.get("I2PNET_WC_STACK") == "1":
+        return _window_candidates_stack(
+            src, out_h, out_w, qstride, kernel_size, shift)
     ch = (jnp.arange(out_h, dtype=jnp.int32) * qstride[0]) // stride[0]
     cw = (jnp.arange(out_w, dtype=jnp.int32) * qstride[1]) // stride[1]
     dh = jnp.arange(kh, dtype=jnp.int32) - kh // 2
