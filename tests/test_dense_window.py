@@ -1,0 +1,79 @@
+"""Dense (all-candidate, multiplicity-weighted) PointNet reformulation
+(ops/dense_window.py) vs the shipped gather-shaped ProjectPointNet.
+
+Same real-number semantics; fp differences only from BN-statistic
+reduction order. Ref semantics: PPBackbone_center.py:54-199.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from i2pnet_tpu.nn.proj_backbone import ProjectPointNet
+from i2pnet_tpu.ops.dense_window import (
+    dense_pointnet_eval,
+    selection_multiplicity,
+)
+from i2pnet_tpu.ops.projection import window_neighbor_select_grid
+
+
+def _grids(seed, B=2, H=8, W=16, C=3, holes=0.3):
+    rng = np.random.default_rng(seed)
+    xyz_raw = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+    mask = rng.random((B, H, W)) < holes
+    xyz_raw[mask] = 0.0
+    xyz = xyz_raw + rng.normal(size=(B, H, W, 3)).astype(np.float32) * 0.05
+    xyz[mask] = 0.0
+    feat = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    return jnp.asarray(xyz_raw), jnp.asarray(xyz), jnp.asarray(feat)
+
+
+def test_selection_multiplicity_sums_to_k():
+    xyz_raw, xyz, _ = _grids(0)
+    K, kernel = 4, (3, 5)
+    args, _ = window_neighbor_select_grid(
+        xyz, xyz, 4, 8, (2, 2), kernel, K, stride=(1, 1), distance=1.5,
+        shift=True, copy=True,
+    )
+    m = selection_multiplicity(args, kernel[0] * kernel[1])
+    np.testing.assert_array_equal(np.asarray(m.sum(-1)), K)
+
+
+@pytest.mark.parametrize("center_mode,using_intens,dtype", [
+    (True, False, None),
+    (True, True, jnp.bfloat16),
+    (False, False, None),
+])
+def test_dense_pointnet_matches_module(center_mode, using_intens, dtype):
+    xyz_raw, xyz, feat = _grids(1)
+    kw = dict(
+        out_h=4, out_w=8, stride_h=2, stride_w=2, kernel_size=(3, 5),
+        nsample=4, distance=1.5, mlp=(8, 16),
+    )
+    mod = ProjectPointNet(use_trans=True, use_bn=True, dtype=dtype, **kw)
+    variables = mod.init(
+        jax.random.PRNGKey(0), xyz_raw, xyz, feat,
+        center_mode=center_mode, using_intens=using_intens,
+    )
+    # non-trivial BN affine so a stats mismatch is visible
+    variables = jax.tree_util.tree_map(
+        lambda t: t + 0.1 * jnp.arange(t.size, dtype=t.dtype).reshape(t.shape)
+        / t.size, variables)
+    pr_r, pr_w, ref = mod.apply(
+        variables, xyz_raw, xyz, feat,
+        center_mode=center_mode, using_intens=using_intens,
+    )
+    dn_r, dn_w, out = dense_pointnet_eval(
+        xyz_raw, xyz, feat, variables["params"],
+        center_mode=center_mode, using_intens=using_intens,
+        use_trans=True, dtype=dtype, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(pr_r), np.asarray(dn_r))
+    np.testing.assert_array_equal(np.asarray(pr_w), np.asarray(dn_w))
+    tol = 2e-2 if dtype == jnp.bfloat16 else 1e-5
+    np.testing.assert_allclose(
+        np.asarray(ref, np.float32), np.asarray(out, np.float32),
+        rtol=tol, atol=tol,
+    )
