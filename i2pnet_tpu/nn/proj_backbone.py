@@ -14,6 +14,7 @@ gathers are single flattened XLA gathers.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -66,6 +67,26 @@ class ProjectPointNet(nn.Module):
     ):
         B, H, W, _ = xyz.shape
         N = self.out_h * self.out_w
+        if (
+            self.use_bn
+            and not self.is_initializing()
+            and os.environ.get("I2PNET_DENSE_PN", "0") != "0"
+        ):
+            # dense multiplicity-weighted path: no K-gathers, MLP over all
+            # khw+1 slots + masked max (ops/dense_window.py; same real-
+            # number semantics, oracle-tested). Opt-in pending TPU A/B.
+            from i2pnet_tpu.ops.dense_window import dense_pointnet_eval
+
+            return dense_pointnet_eval(
+                xyz_raw, xyz, feature, self.variables["params"],
+                out_h=self.out_h, out_w=self.out_w,
+                stride_h=self.stride_h, stride_w=self.stride_w,
+                kernel_size=self.kernel_size, nsample=self.nsample,
+                distance=self.distance, mlp=tuple(self.mlp),
+                center_mode=center_mode, dist_mode=dist_mode,
+                using_intens=using_intens, raw_feat_point=raw_feat_point,
+                use_trans=self.use_trans, dtype=self.dtype,
+            )
         new_xyz = strided_downsample(xyz, self.out_h, self.out_w, self.stride_h, self.stride_w)
         new_xyz_raw = strided_downsample(xyz_raw, self.out_h, self.out_w, self.stride_h, self.stride_w)
 

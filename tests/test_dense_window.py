@@ -77,3 +77,22 @@ def test_dense_pointnet_matches_module(center_mode, using_intens, dtype):
         np.asarray(ref, np.float32), np.asarray(out, np.float32),
         rtol=tol, atol=tol,
     )
+
+
+def test_dense_pn_routing_through_module(monkeypatch):
+    """I2PNET_DENSE_PN=1 routes ProjectPointNet through the dense path
+    with the SAME param tree and matching outputs (env read at trace)."""
+    xyz_raw, xyz, feat = _grids(5)
+    kw = dict(
+        out_h=4, out_w=8, stride_h=2, stride_w=2, kernel_size=(3, 5),
+        nsample=4, distance=1.5, mlp=(8, 16),
+    )
+    mod = ProjectPointNet(use_trans=True, use_bn=True, **kw)
+    monkeypatch.setenv("I2PNET_DENSE_PN", "0")
+    variables = mod.init(
+        jax.random.PRNGKey(1), xyz_raw, xyz, feat, center_mode=True)
+    _, _, ref = mod.apply(variables, xyz_raw, xyz, feat, center_mode=True)
+    monkeypatch.setenv("I2PNET_DENSE_PN", "1")
+    _, _, out = mod.apply(variables, xyz_raw, xyz, feat, center_mode=True)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(out), rtol=1e-5, atol=1e-5)

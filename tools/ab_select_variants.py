@@ -42,6 +42,8 @@ BATCH = 8
 VARIANTS = {
     "default": {},
     "wc_stack": {"I2PNET_WC_STACK": "1"},
+    "dense_pn": {"I2PNET_DENSE_PN": "1"},
+    "dense_pn+wc_stack": {"I2PNET_DENSE_PN": "1", "I2PNET_WC_STACK": "1"},
 }
 
 
