@@ -67,16 +67,19 @@ class ProjectPointNet(nn.Module):
     ):
         B, H, W, _ = xyz.shape
         N = self.out_h * self.out_w
-        if (
-            self.use_bn
-            and not self.is_initializing()
-            and os.environ.get("I2PNET_DENSE_PN", "0") != "0"
-        ):
+        dense_mode = os.environ.get("I2PNET_DENSE_PN", "0")
+        if self.use_bn and not self.is_initializing() and dense_mode != "0":
             # dense multiplicity-weighted path: no K-gathers, MLP over all
             # khw+1 slots + masked max (ops/dense_window.py; same real-
             # number semantics, oracle-tested). Opt-in pending TPU A/B.
+            # mode "2": multiplicities from the Pallas K-pass kernel
+            # (compiled on TPU, interpret elsewhere) instead of top_k.
             from i2pnet_tpu.ops.dense_window import dense_pointnet_eval
 
+            pallas_m = None
+            if dense_mode == "2":
+                pallas_m = (
+                    "tpu" if jax.default_backend() == "tpu" else "interpret")
             return dense_pointnet_eval(
                 xyz_raw, xyz, feature, self.variables["params"],
                 out_h=self.out_h, out_w=self.out_w,
@@ -86,6 +89,7 @@ class ProjectPointNet(nn.Module):
                 center_mode=center_mode, dist_mode=dist_mode,
                 using_intens=using_intens, raw_feat_point=raw_feat_point,
                 use_trans=self.use_trans, dtype=self.dtype,
+                pallas_m=pallas_m,
             )
         new_xyz = strided_downsample(xyz, self.out_h, self.out_w, self.stride_h, self.stride_w)
         new_xyz_raw = strided_downsample(xyz_raw, self.out_h, self.out_w, self.stride_h, self.stride_w)

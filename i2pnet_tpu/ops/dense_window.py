@@ -79,12 +79,17 @@ def dense_pointnet_eval(
     use_trans: bool = True,
     dtype: Optional[jnp.dtype] = None,
     eps: float = BN_EPS,
+    pallas_m: Optional[str] = None,
 ):
     """ProjectPointNet.__call__ with use_bn=True, evaluated densely.
 
     params: the module's ``params`` subtree (mlp_convs/PointwiseConv_i/
     {Dense_0, BatchStatsNorm_0}).  Returns (new_xyz_raw, new_xyz,
     new_feat) like the module.
+
+    pallas_m: None — multiplicities from the shipped top_k selector;
+    "tpu"/"interpret" — the ops/select_pallas.py K-pass kernel (exact
+    same multiset; no top_k, no one-hot histogram).
     """
     B, H, W, _ = xyz.shape
     N = out_h * out_w
@@ -95,13 +100,20 @@ def dense_pointnet_eval(
 
     xyz_pr = xyz if use_trans else xyz_raw
     qstride = (stride_h, stride_w)
-    # selection -> multiplicities (the fused kernel computes m in-kernel;
-    # here we reuse the shipped selector so m is exact by construction)
-    args, _ = window_neighbor_select_grid(
-        xyz_pr, xyz_pr, out_h, out_w, qstride, kernel_size, nsample,
-        stride=(1, 1), distance=distance, shift=True, copy=True,
-    )
-    m = selection_multiplicity(args, khw)  # (B, N, khw+1)
+    if pallas_m is not None:
+        from i2pnet_tpu.ops.select_pallas import selection_multiplicity_pallas
+
+        m = selection_multiplicity_pallas(
+            xyz_pr, out_h=out_h, out_w=out_w, qstride=qstride,
+            kernel_size=kernel_size, K=nsample, distance=distance,
+            interpret=(pallas_m == "interpret"),
+        )
+    else:
+        args, _ = window_neighbor_select_grid(
+            xyz_pr, xyz_pr, out_h, out_w, qstride, kernel_size, nsample,
+            stride=(1, 1), distance=distance, shift=True, copy=True,
+        )
+        m = selection_multiplicity(args, khw)  # (B, N, khw+1)
 
     # dense candidate stacks (+ sentinel slot khw)
     src = xyz_raw if raw_feat_point else xyz

@@ -79,6 +79,40 @@ def test_dense_pointnet_matches_module(center_mode, using_intens, dtype):
     )
 
 
+@pytest.mark.parametrize("out_hw,qstride,kernel,K,distance", [
+    ((4, 8), (2, 2), (3, 5), 4, 1.5),
+    ((8, 16), (1, 1), (3, 3), 4, 1.0),
+    ((2, 4), (4, 4), (5, 5), 8, 2.0),
+    ((4, 8), (2, 2), (3, 3), 16, 1.5),   # K > khw: sentinel/copy fill
+])
+def test_selection_multiplicity_pallas_exact(out_hw, qstride, kernel, K,
+                                             distance):
+    """The Pallas K-pass extraction must reproduce top_k's selected
+    multiset exactly (value order, lowest-index ties, copy fill,
+    sentinel mass) on every query."""
+    from i2pnet_tpu.ops.select_pallas import selection_multiplicity_pallas
+
+    rng = np.random.default_rng(11)
+    B, H, W = 2, 8, 16
+    xyz = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+    xyz[rng.random((B, H, W)) < 0.3] = 0.0
+    # quantize to force distance ties (tie order must match top_k)
+    xyz = np.round(xyz * 4) / 4
+    xyz = jnp.asarray(xyz)
+    out_h, out_w = out_hw
+    khw = kernel[0] * kernel[1]
+    args, _ = window_neighbor_select_grid(
+        xyz, xyz, out_h, out_w, qstride, kernel, K, stride=(1, 1),
+        distance=distance, shift=True, copy=True,
+    )
+    ref = selection_multiplicity(args, khw)
+    got = selection_multiplicity_pallas(
+        xyz, out_h=out_h, out_w=out_w, qstride=qstride,
+        kernel_size=kernel, K=K, distance=distance, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_dense_pn_routing_through_module(monkeypatch):
     """I2PNET_DENSE_PN=1 routes ProjectPointNet through the dense path
     with the SAME param tree and matching outputs (env read at trace)."""

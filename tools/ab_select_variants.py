@@ -44,6 +44,8 @@ VARIANTS = {
     "wc_stack": {"I2PNET_WC_STACK": "1"},
     "dense_pn": {"I2PNET_DENSE_PN": "1"},
     "dense_pn+wc_stack": {"I2PNET_DENSE_PN": "1", "I2PNET_WC_STACK": "1"},
+    "dense_pn_pallas+wc_stack": {
+        "I2PNET_DENSE_PN": "2", "I2PNET_WC_STACK": "1"},
 }
 
 
