@@ -74,14 +74,10 @@ class ProjectPointNet(nn.Module):
             # number semantics, oracle-tested). Opt-in pending TPU A/B.
             # mode "2": multiplicities from the Pallas K-pass kernel
             # (compiled on TPU, interpret elsewhere) instead of top_k.
-            from i2pnet_tpu.ops.dense_window import dense_pointnet_eval
-
-            pallas_m = None
-            if dense_mode == "2":
-                pallas_m = (
-                    "tpu" if jax.default_backend() == "tpu" else "interpret")
-            return dense_pointnet_eval(
-                xyz_raw, xyz, feature, self.variables["params"],
+            # mode "3": fully fused Pallas level (ops/pointnet_pallas.py):
+            # selection + stencil MLP + weighted BN + masked max in VMEM.
+            interp = jax.default_backend() != "tpu"
+            common = dict(
                 out_h=self.out_h, out_w=self.out_w,
                 stride_h=self.stride_h, stride_w=self.stride_w,
                 kernel_size=self.kernel_size, nsample=self.nsample,
@@ -89,7 +85,26 @@ class ProjectPointNet(nn.Module):
                 center_mode=center_mode, dist_mode=dist_mode,
                 using_intens=using_intens, raw_feat_point=raw_feat_point,
                 use_trans=self.use_trans, dtype=self.dtype,
-                pallas_m=pallas_m,
+            )
+            if dense_mode == "3" and not train:
+                # eval-only: the fused passes carry no VJP (training
+                # keeps the gathered path, like the fused RGB encoder)
+                from i2pnet_tpu.ops.pointnet_pallas import dense_pointnet_fused
+
+                return dense_pointnet_fused(
+                    xyz_raw, xyz, feature, self.variables["params"],
+                    interpret=interp, **common,
+                )
+            if dense_mode == "3":
+                dense_mode = "2"
+            from i2pnet_tpu.ops.dense_window import dense_pointnet_eval
+
+            pallas_m = None
+            if dense_mode == "2":
+                pallas_m = "interpret" if interp else "tpu"
+            return dense_pointnet_eval(
+                xyz_raw, xyz, feature, self.variables["params"],
+                pallas_m=pallas_m, **common,
             )
         new_xyz = strided_downsample(xyz, self.out_h, self.out_w, self.stride_h, self.stride_w)
         new_xyz_raw = strided_downsample(xyz_raw, self.out_h, self.out_w, self.stride_h, self.stride_w)

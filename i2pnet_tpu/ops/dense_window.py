@@ -103,11 +103,13 @@ def dense_pointnet_eval(
     if pallas_m is not None:
         from i2pnet_tpu.ops.select_pallas import selection_multiplicity_pallas
 
-        m = selection_multiplicity_pallas(
+        # selection indices are non-differentiable in the gathered path;
+        # stop_gradient keeps autodiff from needing a pallas_call VJP
+        m = jax.lax.stop_gradient(selection_multiplicity_pallas(
             xyz_pr, out_h=out_h, out_w=out_w, qstride=qstride,
             kernel_size=kernel_size, K=nsample, distance=distance,
             interpret=(pallas_m == "interpret"),
-        )
+        ))
     else:
         args, _ = window_neighbor_select_grid(
             xyz_pr, xyz_pr, out_h, out_w, qstride, kernel_size, nsample,

@@ -156,11 +156,16 @@ def selection_multiplicity_pallas(
     K: int,
     distance: float,
     interpret: bool = False,
+    raw_layout: bool = False,
 ) -> jnp.ndarray:
     """m (B, out_h*out_w, khw+1) for the stride-(1,1) shift+copy select.
 
     Equals selection_multiplicity(window_neighbor_select_grid(xyz_pr,
     xyz_pr, ..., copy=True)[0]) with top_k's tie order reproduced.
+
+    raw_layout=True returns the kernel's native (B, out_h, khw+1, Wp)
+    layout (pad lanes included) for consumers that keep it on-chip
+    (ops/pointnet_pallas.py).
     """
     B, h2, w2, _ = xyz_pr.shape
     kh, kw = kernel_size
@@ -190,6 +195,8 @@ def selection_multiplicity_pallas(
         interpret,
     )
     m = call(planes)  # (B, out_h, S+1, Wp)
+    if raw_layout:
+        return m
     m = m[..., :out_w]  # crop pad lanes
     m = jnp.transpose(m, (0, 1, 3, 2)).reshape(
         B, out_h * out_w, kh * kw + 1)

@@ -46,6 +46,7 @@ VARIANTS = {
     "dense_pn+wc_stack": {"I2PNET_DENSE_PN": "1", "I2PNET_WC_STACK": "1"},
     "dense_pn_pallas+wc_stack": {
         "I2PNET_DENSE_PN": "2", "I2PNET_WC_STACK": "1"},
+    "fused_pn": {"I2PNET_DENSE_PN": "3"},
 }
 
 
