@@ -62,19 +62,21 @@ def _mlp_body(
 
     planes (1, kw, Cg, h2p, Wp); ctr (1, 6, to, Wp) rows [ctr(3),
     center_points(3)] per out-row; sent (1, Cg_p8, 8, Wp) rows 0..Cg-1;
-    m (1, to, S+1, Wp); w (L, Cin_max_p, Cout_max_p) stacked per-layer
-    padded weights; aux (L, 8, Cout_max_p) rows [dense bias, bn scale,
-    bn bias, mean, var]; out: stats (1, 1, 8, Cout_max_p) or final
-    (1, to, Cout_L_p8, Wp).
+    m (1, to, S+1, Wp); w (L, Cout_max_p8, Cin_max_p) per-layer weights
+    stored TRANSPOSED (cout sublanes, cin lanes — no in-kernel
+    transposes); aux (L, Cout_max_p8, 128) channel-on-sublane packing,
+    lanes [dense bias, bn scale, bn bias, mean, var]; out: stat partials
+    (1, 1, 2*cs_p8, Wp) rows [sum m*x | sum m*x^2] (host reduces lanes)
+    or final (1, to, Cout_L_p8, Wp). Everything stays >= 2-D.
     """
     S = kh * kw
     Wp = planes_ref.shape[-1]
     rb = pl.program_id(1)
     L_run = len(couts) if upto == 0 else upto
-
     if upto != 0:
-        acc1 = jnp.zeros((1, aux_ref.shape[-1]), jnp.float32)
-        acc2 = jnp.zeros((1, aux_ref.shape[-1]), jnp.float32)
+        c_stat = couts[L_run - 1]
+        acc1 = jnp.zeros((c_stat, Wp), jnp.float32)
+        acc2 = jnp.zeros((c_stat, Wp), jnp.float32)
 
     for r in range(to):
         orow = rb * to + r
@@ -86,7 +88,7 @@ def _mlp_body(
 
         def slot_feat(s_dh, s_dw, sentinel):
             if sentinel:
-                cand = sent_ref[0, :Cg, 0, :]  # (Cg, Wp)
+                cand = sent_ref[0, :Cg, 0, :].reshape(Cg, Wp)
             else:
                 # m already encodes slot validity; just read the rows
                 grow = orow * qh + s_dh
@@ -94,18 +96,17 @@ def _mlp_body(
                     0, pl.dslice(s_dw, 1), :, pl.dslice(grow, 1), :
                 ].reshape(Cg, Wp)
             gn = cand[:3] - ctr[:3]
-            if mode == "center":
-                sumsq = gn[0] * gn[0] + gn[1] * gn[1] + gn[2] * gn[2]
+            if mode in ("center", "dist"):
+                sumsq = (gn[0:1] * gn[0:1] + gn[1:2] * gn[1:2]
+                         + gn[2:3] * gn[2:3])
                 dist = jnp.where(sumsq > 0, jnp.sqrt(
-                    jnp.where(sumsq > 0, sumsq, 1.0)), 0.0)
-                rows = [gn, ctr[3:6], cand[:3], dist[None, :]]
+                    jnp.where(sumsq > 0, sumsq, 1.0)), 0.0)  # (1, Wp)
+            if mode == "center":
+                rows = [gn, ctr[3:6], cand[:3], dist]
                 if Cg > 3:
                     rows.append(cand[3:])
             elif mode == "dist":
-                sumsq = gn[0] * gn[0] + gn[1] * gn[1] + gn[2] * gn[2]
-                dist = jnp.where(sumsq > 0, jnp.sqrt(
-                    jnp.where(sumsq > 0, sumsq, 1.0)), 0.0)
-                rows = [dist[None, :]]
+                rows = [dist]
             else:
                 rows = [gn, cand[3:]]
             x = jnp.concatenate(rows, axis=0)  # (Cin, Wp)
@@ -117,7 +118,8 @@ def _mlp_body(
             cin = Cin
             for li in range(L_run):
                 cout = couts[li]
-                wt = w_ref[li, :cin, :cout].T  # (cout, cin) f32
+                wt = w_ref[li, :cout, :cin]  # (cout, cin) f32
+                bias = aux_ref[li, :cout, 0:1]  # (cout, 1)
                 if use_bf16:
                     # native semantics: bf16 dot (f32 accum, bf16 round),
                     # bias added in bf16, then f32 for BN
@@ -126,21 +128,19 @@ def _mlp_body(
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ).astype(jnp.bfloat16)
-                    y = (y + aux_ref[li, 0, :cout].astype(
-                        jnp.bfloat16)[:, None]).astype(jnp.float32)
+                    y = (y + bias.astype(jnp.bfloat16)).astype(jnp.float32)
                 else:
                     y = jax.lax.dot_general(
                         wt, x, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                    y = y + aux_ref[li, 0, :cout][:, None]
+                    y = y + bias
                 if li == L_run - 1 and upto != 0:
                     return y  # pre-BN output of the stat layer
-                mean = aux_ref[li, 3, :cout][:, None]
-                var = aux_ref[li, 4, :cout][:, None]
+                mean = aux_ref[li, :cout, 3:4]
+                var = aux_ref[li, :cout, 4:5]
                 z = (y - mean) * jax.lax.rsqrt(var + eps)
-                z = z * aux_ref[li, 1, :cout][:, None] + \
-                    aux_ref[li, 2, :cout][:, None]
+                z = z * aux_ref[li, :cout, 1:2] + aux_ref[li, :cout, 2:3]
                 x = jnp.maximum(z, 0.0)
                 cin = cout
             return x
@@ -148,36 +148,31 @@ def _mlp_body(
         # regular slots via fori_loop (bounds compiled code size); the
         # sentinel slot unrolled once after
         if upto != 0:
-            c_stat = couts[L_run - 1]
-
             def body(s, accs):
                 a1, a2 = accs
                 s_dh = s // kw
                 s_dw = s - s_dh * kw
                 x = run_mlp(slot_feat(s_dh, s_dw, False))  # (c_stat, Wp)
-                mrow = jax.lax.dynamic_slice(
-                    m_ref[0, r], (s, 0), (1, Wp))  # (1, Wp)
-                a1 = a1.at[0, :c_stat].add(jnp.sum(x * mrow, axis=1))
-                a2 = a2.at[0, :c_stat].add(jnp.sum(x * x * mrow, axis=1))
-                return a1, a2
+                mrow = m_ref[0, r, pl.dslice(s, 1), :]  # (1, Wp)
+                return a1 + x * mrow, a2 + x * x * mrow
 
             acc1, acc2 = jax.lax.fori_loop(0, S, body, (acc1, acc2))
             x = run_mlp(slot_feat(0, 0, True))
-            mrow = m_ref[0, r, S, :][None, :]
-            acc1 = acc1.at[0, :c_stat].add(jnp.sum(x * mrow, axis=1))
-            acc2 = acc2.at[0, :c_stat].add(jnp.sum(x * x * mrow, axis=1))
+            mrow = m_ref[0, r, S:S + 1, :]
+            acc1 = acc1 + x * mrow
+            acc2 = acc2 + x * x * mrow
         else:
             def body(s, pooled):
                 s_dh = s // kw
                 s_dw = s - s_dh * kw
                 x = run_mlp(slot_feat(s_dh, s_dw, False))
-                mrow = jax.lax.dynamic_slice(m_ref[0, r], (s, 0), (1, Wp))
+                mrow = m_ref[0, r, pl.dslice(s, 1), :]
                 return jnp.maximum(
                     pooled, jnp.where(mrow > 0, x, -jnp.inf))
 
             pooled = jax.lax.fori_loop(0, S, body, pooled)
             x = run_mlp(slot_feat(0, 0, True))
-            mrow = m_ref[0, r, S, :][None, :]
+            mrow = m_ref[0, r, S:S + 1, :]
             pooled = jnp.maximum(pooled, jnp.where(mrow > 0, x, -jnp.inf))
             out_ref[0, r, :couts[-1], :] = pooled
             if out_ref.shape[2] > couts[-1]:
@@ -185,10 +180,13 @@ def _mlp_body(
                     (out_ref.shape[2] - couts[-1], Wp), jnp.float32)
 
     if upto != 0:
-        out_ref[0, 0, 0, :] = acc1[0]
-        out_ref[0, 0, 1, :] = acc2[0]
-        out_ref[0, 0, 2:, :] = jnp.zeros(
-            (out_ref.shape[2] - 2, out_ref.shape[3]), jnp.float32)
+        cs8 = out_ref.shape[2] // 2
+        out_ref[0, 0, :c_stat, :] = acc1
+        out_ref[0, 0, cs8:cs8 + c_stat, :] = acc2
+        if cs8 > c_stat:
+            z = jnp.zeros((cs8 - c_stat, Wp), jnp.float32)
+            out_ref[0, 0, c_stat:cs8, :] = z
+            out_ref[0, 0, cs8 + c_stat:, :] = z
 
 
 @functools.lru_cache(maxsize=None)
@@ -198,8 +196,8 @@ def _make_pass(B, out_h, out_w, qh, kh, kw, h2, Cg, Cin, couts, mode,
     S = kh * kw
     h2p = h2 + 2 * (kh // 2)
     L = len(couts)
-    cmax = _pad_lanes(max(couts))
-    cin_max = _pad8(max([Cin] + list(couts)))
+    cmax8 = _pad8(max(couts))
+    cin_max = _pad_lanes(max([Cin] + list(couts)))
     to = out_h
     planes_b = kw * Cg * h2p * Wp * 4
     while to > 1 and planes_b + to * (S + 1) * Wp * 4 > 9_000_000:
@@ -220,15 +218,17 @@ def _make_pass(B, out_h, out_w, qh, kh, kw, h2, Cg, Cin, couts, mode,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, to, S + 1, Wp), lambda b, i: (b, i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((L, cin_max, cmax), lambda b, i: (0, 0, 0),
+        pl.BlockSpec((L, cmax8, cin_max), lambda b, i: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((L, 8, cmax), lambda b, i: (0, 0, 0),
+        pl.BlockSpec((L, cmax8, 128), lambda b, i: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     if upto != 0:
-        out_spec = pl.BlockSpec((1, 1, 8, cmax), lambda b, i: (b, i, 0, 0),
+        cs8 = _pad8(couts[upto - 1])
+        out_spec = pl.BlockSpec((1, 1, 2 * cs8, Wp),
+                                lambda b, i: (b, i, 0, 0),
                                 memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((B, nb, 8, cmax), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((B, nb, 2 * cs8, Wp), jnp.float32)
     else:
         cl = _pad8(couts[-1])
         out_spec = pl.BlockSpec((1, to, cl, Wp), lambda b, i: (b, i, 0, 0),
@@ -338,19 +338,21 @@ def dense_pointnet_fused(
         Cin = 1
     else:
         Cin = 3 + (Cg - 3)
-    cmax = _pad_lanes(max(mlp))
-    cin_max = _pad8(max([Cin] + list(mlp)))
-    Ws = jnp.zeros((L, cin_max, cmax), jnp.float32)
-    aux = jnp.zeros((L, 8, cmax), jnp.float32)
+    cmax8 = _pad8(max(mlp))
+    cin_max = _pad_lanes(max([Cin] + list(mlp)))
+    # weights transposed (cout sublanes, cin lanes); aux channel-on-
+    # sublane with lanes [bias, scale, bn bias, mean, var]
+    Ws = jnp.zeros((L, cmax8, cin_max), jnp.float32)
+    aux = jnp.zeros((L, cmax8, 128), jnp.float32)
     cin = Cin
     for i, f in enumerate(mlp):
         p = params["mlp_convs"][f"PointwiseConv_{i}"]
-        Ws = Ws.at[i, :cin, :f].set(
-            p["Dense_0"]["kernel"].astype(jnp.float32))
-        aux = aux.at[i, 0, :f].set(p["Dense_0"]["bias"].astype(jnp.float32))
-        aux = aux.at[i, 1, :f].set(
+        Ws = Ws.at[i, :f, :cin].set(
+            p["Dense_0"]["kernel"].astype(jnp.float32).T)
+        aux = aux.at[i, :f, 0].set(p["Dense_0"]["bias"].astype(jnp.float32))
+        aux = aux.at[i, :f, 1].set(
             p["BatchStatsNorm_0"]["scale"].astype(jnp.float32))
-        aux = aux.at[i, 2, :f].set(
+        aux = aux.at[i, :f, 2].set(
             p["BatchStatsNorm_0"]["bias"].astype(jnp.float32))
         cin = f
 
@@ -359,19 +361,19 @@ def dense_pointnet_fused(
     total = float(B * N * nsample)
     couts = tuple(mlp)
 
-    # stat passes
+    # stat passes: partials (B, nb, 2*cs8, Wp); lanes reduced host-side
     for li in range(1, L + 1):
         call = _make_pass(B, out_h, out_w, stride_h, kh, kw, h2, Cg, Cin,
                           couts, mode, li, use_bf16, eps, interpret)
-        part = call(planes, ctr, sent, m, Ws, aux)  # (B, nb, 8, cmax)
-        s1 = jnp.sum(part[:, :, 0, :], axis=(0, 1))
-        s2 = jnp.sum(part[:, :, 1, :], axis=(0, 1))
-        mean = s1 / total
-        var = s2 / total - mean * mean
-        var = jnp.maximum(var, 0.0)
+        part = call(planes, ctr, sent, m, Ws, aux)
         c = couts[li - 1]
-        aux = aux.at[li - 1, 3, :c].set(mean[:c].astype(jnp.float32))
-        aux = aux.at[li - 1, 4, :c].set(var[:c].astype(jnp.float32))
+        cs8 = part.shape[2] // 2
+        s1 = jnp.sum(part[:, :, :c, :], axis=(0, 1, 3))
+        s2 = jnp.sum(part[:, :, cs8:cs8 + c, :], axis=(0, 1, 3))
+        mean = s1 / total
+        var = jnp.maximum(s2 / total - mean * mean, 0.0)
+        aux = aux.at[li - 1, :c, 3].set(mean.astype(jnp.float32))
+        aux = aux.at[li - 1, :c, 4].set(var.astype(jnp.float32))
 
     call = _make_pass(B, out_h, out_w, stride_h, kh, kw, h2, Cg, Cin,
                       couts, mode, 0, use_bf16, eps, interpret)

@@ -53,13 +53,16 @@ def _sel_kernel(
     Wp = planes_ref.shape[-1]
     rb = pl.program_id(1)
 
+    # every intermediate stays >= 2-D (Mosaic-friendly): per-lane values
+    # are (1, Wp) rows, per-slot stacks are (S[, +1], Wp)
     for r in range(to):
         orow = rb * to + r
         # center = slot (kh//2, kw//2): the query's own pixel
         ctr = planes_ref[0, kw // 2, :, :, :][:, orow * qh + kh // 2, :]
+        ctr = ctr.reshape(3, Wp)
         ctr_valid = (
-            ctr[0] * ctr[0] + ctr[1] * ctr[1] + ctr[2] * ctr[2]
-        ) > 1e-10  # (Wp,)
+            ctr[0:1] * ctr[0:1] + ctr[1:2] * ctr[1:2] + ctr[2:3] * ctr[2:3]
+        ) > 1e-10  # (1, Wp)
 
         d_rows = []
         for dh in range(kh):
@@ -67,46 +70,45 @@ def _sel_kernel(
             grid_row = grow - (kh // 2)
             row_ok = (grid_row >= 0) & (grid_row < h2)
             for dw in range(kw):
-                cand = planes_ref[0, dw, :, :, :][:, grow, :]  # (3, Wp)
-                dx = ctr[0] - cand[0]
-                dy = ctr[1] - cand[1]
-                dz = ctr[2] - cand[2]
-                d = dx * dx + dy * dy + dz * dz
+                cand = planes_ref[0, dw, :, :, :][:, grow, :].reshape(3, Wp)
+                dx = ctr[0:1] - cand[0:1]
+                dy = ctr[1:2] - cand[1:2]
+                dz = ctr[2:3] - cand[2:3]
+                d = dx * dx + dy * dy + dz * dz  # (1, Wp)
                 q_valid = (
-                    cand[0] * cand[0] + cand[1] * cand[1] + cand[2] * cand[2]
+                    cand[0:1] * cand[0:1] + cand[1:2] * cand[1:2]
+                    + cand[2:3] * cand[2:3]
                 ) > 1e-10
                 ok = q_valid & (d <= dist2) & row_ok
                 d_rows.append(
                     jnp.where(ok, jnp.maximum(d, 1e-10),
                               jnp.full_like(d, _INVALID)))
-        D = jnp.stack(d_rows, axis=0)  # (S, Wp)
+        D = jnp.concatenate(d_rows, axis=0)  # (S, Wp)
 
         sidx = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
         m = jnp.zeros((S + 1, Wp), jnp.float32)
         midx = jax.lax.broadcasted_iota(jnp.int32, (S + 1, 1), 0)
-        hits = jnp.zeros((Wp,), jnp.float32)
-        nearest = jnp.full((Wp,), S, jnp.int32)
+        hits = jnp.zeros((1, Wp), jnp.float32)
+        nearest = jnp.full((1, Wp), S, jnp.int32)
         for k in range(K):
-            dmin = jnp.min(D, axis=0)  # (Wp,)
+            dmin = jnp.min(D, axis=0, keepdims=True)  # (1, Wp)
             hit = dmin < _INVALID / 2
             win = jnp.min(
-                jnp.where(D == dmin[None, :], sidx, S + 1), axis=0
-            )  # (Wp,) first slot attaining the min
+                jnp.where(D == dmin, sidx, S + 1), axis=0, keepdims=True
+            )  # (1, Wp) first slot attaining the min
             if k == 0:
                 nearest = jnp.where(hit, win, S)
-            sel = (midx == win[None, :]) & hit[None, :]
+            sel = (midx == win) & hit
             m = m + sel.astype(jnp.float32)
             hits = hits + hit.astype(jnp.float32)
-            D = jnp.where((sidx == win[None, :]) & hit[None, :],
-                          jnp.full_like(D, _INVALID), D)
+            D = jnp.where((sidx == win) & hit, jnp.full_like(D, _INVALID), D)
         # copy-mode fill: remaining K-hits slots duplicate the nearest hit
         # (or the sentinel when there was no hit); invalid centers put all
         # K on the sentinel
         fill_idx = jnp.where(ctr_valid, nearest, S)
         fill_n = jnp.where(ctr_valid, jnp.float32(K) - hits, jnp.float32(K))
-        m = jnp.where(ctr_valid[None, :], m, jnp.zeros_like(m))
-        m = m + jnp.where(midx == fill_idx[None, :], fill_n[None, :],
-                          jnp.zeros_like(m))
+        m = jnp.where(ctr_valid, m, jnp.zeros_like(m))
+        m = m + jnp.where(midx == fill_idx, fill_n, jnp.zeros_like(m))
         m_ref[0, r] = m
 
 
