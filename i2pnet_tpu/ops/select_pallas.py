@@ -57,9 +57,12 @@ def _sel_kernel(
     # are (1, Wp) rows, per-slot stacks are (S[, +1], Wp)
     for r in range(to):
         orow = rb * to + r
-        # center = slot (kh//2, kw//2): the query's own pixel
-        ctr = planes_ref[0, kw // 2, :, :, :][:, orow * qh + kh // 2, :]
-        ctr = ctr.reshape(3, Wp)
+        # center = slot (kh//2, kw//2): the query's own pixel.  Dynamic
+        # row indices must slice the REF (Mosaic has no value-level
+        # dynamic_slice), hence pl.dslice on the h2p axis.
+        ctr = planes_ref[
+            0, kw // 2, :, pl.dslice(orow * qh + kh // 2, 1), :
+        ].reshape(3, Wp)
         ctr_valid = (
             ctr[0:1] * ctr[0:1] + ctr[1:2] * ctr[1:2] + ctr[2:3] * ctr[2:3]
         ) > 1e-10  # (1, Wp)
@@ -70,7 +73,8 @@ def _sel_kernel(
             grid_row = grow - (kh // 2)
             row_ok = (grid_row >= 0) & (grid_row < h2)
             for dw in range(kw):
-                cand = planes_ref[0, dw, :, :, :][:, grow, :].reshape(3, Wp)
+                cand = planes_ref[
+                    0, dw, :, pl.dslice(grow, 1), :].reshape(3, Wp)
                 dx = ctr[0:1] - cand[0:1]
                 dy = ctr[1:2] - cand[1:2]
                 dz = ctr[2:3] - cand[2:3]
