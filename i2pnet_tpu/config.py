@@ -114,6 +114,14 @@ class I2PNetConfig:
     # for the smaller residual memory. No effect at compute_dtype=float32
     # (the parity default).
     encoder_bn_compute_dtype: bool = True
+    # set True for hybrid data x spatial training (shard_train_step_spatial):
+    # reroutes the stride-1 pool backwards through a pure-shift argtap
+    # formulation (bit-identical single-device incl. tie order) because
+    # XLA's partitioned select-and-scatter silently drops cross-shard
+    # gradients for OVERLAPPING pool windows on a sharded axis (repro:
+    # tests/test_spatial_parallel.py). Default False: single-chip runs keep
+    # the measured-fastest native op (BASELINE.md pool table).
+    spatial_parallel: bool = False
 
     # --- loss (ref :96-103)
     sq_init: float = -2.5
@@ -233,6 +241,8 @@ class I2PNetProjConfig:
     # see I2PNetConfig: RGB-encoder remat + BN-in-compute-dtype levers
     encoder_remat: bool = False
     encoder_bn_compute_dtype: bool = True
+    # see I2PNetConfig.spatial_parallel (stride-1 pool GSPMD rerouting)
+    spatial_parallel: bool = False
 
     # reproduce the reference's NaN-row pad scatter (zeroes cell (0, W//2)
     # when the cloud has zero-pad points; see ops.projection.spherical_project)

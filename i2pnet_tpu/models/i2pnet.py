@@ -111,6 +111,7 @@ class I2PNet(nn.Module):
             dtype=cdt,
             bn_compute_dtype=cfg.encoder_bn_compute_dtype,
             remat=cfg.encoder_remat,
+            spmd_pool=cfg.spatial_parallel,
             name="rgb_encoder",
         )(rgb_img, train)
         RF3 = rgb_feats[-1]  # (B, h3, w3, C)

@@ -336,7 +336,63 @@ def _pool3_vjp_bwd(stride, res, ct):
 _pool3_custom.defvjp(_pool3_vjp_fwd, _pool3_vjp_bwd)
 
 
-def max_pool_3x3(x: jnp.ndarray, stride: int) -> jnp.ndarray:
+def _pool3_s1_spmd_bwd(x, y, ct):
+    """dx for the stride-1 3x3 pool with FIRST-WINS tie routing as pure
+    shifts: argtap min-tree (identical tie order to select-and-scatter's
+    >= select) + a 9-tap routed sum. Every op is an elementwise/static-
+    slice op, so GSPMD partitions it exactly under spatial sharding.
+
+    Why this exists: XLA's partitioned select-and-scatter SILENTLY DROPS
+    gradient contributions when the pool windows overlap (stride < window)
+    along a sharded axis — measured on XLA:CPU (jax 0.9.0): sharding W of
+    a (4,8,16,4) input across 2 devices zeroes most of shard 0's dx for
+    stride 1 while stride 2 is exact (tests/test_spatial_parallel.py
+    documents the repro). The shipped encoder's last stage pools at
+    stride 1, so spatial parallelism needs this routing.
+    """
+    argtap = _pool3_argtap(x, y, 1)
+    B, H, W, C = x.shape
+    atp = jnp.pad(argtap, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                  constant_values=9)
+    ctp = jnp.pad(ct, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dx = None
+    for o in range(9):
+        oh, ow = o // 3, o % 3
+        # input (i, j) is tap (oh, ow) of output window (i+1-oh, j+1-ow);
+        # +1 padding on the output arrays makes that slice offset
+        # (2-oh, 2-ow) (same geometry as _pool3_route_kernel's s==1 path)
+        ats = lax.slice(
+            atp, (0, 2 - oh, 2 - ow, 0), (B, 2 - oh + H, 2 - ow + W, C)
+        )
+        cs = lax.slice(
+            ctp, (0, 2 - oh, 2 - ow, 0), (B, 2 - oh + H, 2 - ow + W, C)
+        )
+        contrib = jnp.where(ats == o, cs, jnp.zeros_like(cs))
+        dx = contrib if dx is None else dx + contrib
+    return dx
+
+
+@jax.custom_vjp
+def _pool3_s1_spmd(x: jnp.ndarray) -> jnp.ndarray:
+    return _pool3_fwd(x, 1)
+
+
+def _pool3_s1_spmd_vjp_fwd(x):
+    y = _pool3_fwd(x, 1)
+    return y, (x, y)
+
+
+def _pool3_s1_spmd_vjp_bwd(res, ct):
+    x, y = res
+    return (_pool3_s1_spmd_bwd(x, y, ct),)
+
+
+_pool3_s1_spmd.defvjp(_pool3_s1_spmd_vjp_fwd, _pool3_s1_spmd_vjp_bwd)
+
+
+def max_pool_3x3(
+    x: jnp.ndarray, stride: int, spmd_safe: bool = False
+) -> jnp.ndarray:
     """3x3 max-pool, stride s, pad 1 (the reference's MaxPool2d(3, s, 1),
     ref basicConv.py:17).
 
@@ -365,6 +421,18 @@ def max_pool_3x3(x: jnp.ndarray, stride: int) -> jnp.ndarray:
         return _pool3_allties(x, stride)
     if clean and os.environ.get("I2PNET_POOL_PALLAS") == "1":
         return _pool3_custom(x, stride)
+    if stride == 1 and (
+        spmd_safe or os.environ.get("I2PNET_POOL_SPMD_S1") == "1"
+    ):
+        # GSPMD-safe backward for OVERLAPPING windows: partitioned
+        # select-and-scatter drops cross-shard contributions at stride 1
+        # (see _pool3_s1_spmd_bwd). Bit-identical routing single-device
+        # (first-wins ties). Gated on cfg.spatial_parallel rather than
+        # default because the shipped encoder pools at stride 1 in EVERY
+        # stage — the native op is the measured-fastest single-chip
+        # backward (table above) and the reroute is unmeasured on TPU;
+        # I2PNET_POOL_SPMD_S1=1 force-enables it for that A/B.
+        return _pool3_s1_spmd(x)
     return _pool3_fwd(x, stride)
 
 
@@ -465,6 +533,7 @@ class RGBEncoderStage(nn.Module):
     strides: Sequence[int]
     dtype: Optional[jnp.dtype] = None
     bn_compute_dtype: bool = False
+    spmd_pool: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -531,7 +600,7 @@ class RGBEncoderStage(nn.Module):
             # native select-and-scatter backward by default; the Pallas
             # routing sits behind I2PNET_POOL_PALLAS (see max_pool_3x3's
             # docstring for the measurements)
-            x = max_pool_3x3(x, s)
+            x = max_pool_3x3(x, s, spmd_safe=self.spmd_pool)
         return x
 
     def _fused_eval(self, x: jnp.ndarray, *, interpret: bool) -> jnp.ndarray:
@@ -630,6 +699,7 @@ class RGBEncoder(nn.Module):
     dtype: Optional[jnp.dtype] = None
     bn_compute_dtype: bool = False
     remat: bool = False
+    spmd_pool: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -648,6 +718,7 @@ class RGBEncoder(nn.Module):
                 strides,
                 dtype=self.dtype,
                 bn_compute_dtype=self.bn_compute_dtype,
+                spmd_pool=self.spmd_pool,
                 name=f"RGBEncoderStage_{i}",
             )(x, train)
             outs.append(x)

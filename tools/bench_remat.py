@@ -107,7 +107,8 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default="r2,remat,bn,remat_bn",
-                    help="comma list: r2,remat,bn,remat_bn,bn_allties,fused")
+                    help="comma list: r2,remat,bn,remat_bn,bn_allties,"
+                         "fused,pool_spmd")
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
     print(f"backend: {jax.default_backend()} devices: {jax.devices()}", flush=True)
@@ -131,6 +132,13 @@ def main():
         # merged-layout Pallas conv+BN+pool train path (conv_pallas_train)
         bench_variant("fused_train", iters=it,
                       env={"I2PNET_FUSED_TRAIN": "1"})
+    if "pool_spmd" in v:
+        # stride-1 pool backward rerouted to the pure-shift argtap
+        # formulation (cfg.spatial_parallel / GSPMD workaround) — measures
+        # what spatial-parallel configs pay on a single chip and whether
+        # the reroute could be default-on (BASELINE.md round-3c)
+        bench_variant("pool_spmd_s1", iters=it,
+                      env={"I2PNET_POOL_SPMD_S1": "1"})
 
 
 if __name__ == "__main__":
