@@ -34,9 +34,11 @@ BN_EPS = 1e-5
 def _fused_mode(env_name: str, default: str) -> Optional[str]:
     """Resolve a fused-path env flag (read at trace time).
 
-    Values: "auto" — compiled Pallas on TPU, native elsewhere;
-    "0" — always native; "1" — Pallas on TPU, interpret-mode elsewhere;
-    "interpret" — force interpret mode (CPU parity tests).
+    Values: "auto" — compiled Pallas on a SINGLE-device TPU process, native
+    elsewhere (a pallas_call has no GSPMD partitioning rule, so auto never
+    routes where jit+NamedSharding dp/sp meshes would have to replicate it);
+    "0" — always native; "1" — Pallas on TPU (even multi-device), interpret-
+    mode elsewhere; "interpret" — force interpret mode (CPU parity tests).
     Returns None (native), "tpu", or "interpret".
     """
     mode = os.environ.get(env_name, default)
@@ -45,6 +47,8 @@ def _fused_mode(env_name: str, default: str) -> Optional[str]:
     if mode == "interpret":
         return "interpret"
     if jax.default_backend() == "tpu":
+        if mode == "auto" and jax.device_count() > 1:
+            return None
         return "tpu"
     return "interpret" if mode == "1" else None
 
@@ -54,7 +58,10 @@ def _fused_eval_mode() -> Optional[str]:
 
 
 def _fused_train_mode() -> Optional[str]:
-    return _fused_mode("I2PNET_FUSED_TRAIN", "0")
+    # default "auto" since the round-3 TPU A/B: full free-point train step
+    # 105.1 -> 91.5 ms (76.1 -> 87.5 pairs/s) at B=8 384x1280 bf16
+    # (BASELINE.md round-3d; convergence guard re-run on the routed path)
+    return _fused_mode("I2PNET_FUSED_TRAIN", "auto")
 
 
 class _RunningStats(nn.Module):
@@ -541,6 +548,7 @@ class RGBEncoderStage(nn.Module):
             not train
             and not self.is_initializing()
             and self.dtype == jnp.bfloat16
+            and not self.spmd_pool  # Pallas has no GSPMD partition rule
         ):
             # eval fast path: BN folded to scale/shift, one fused Pallas
             # kernel per block (ops/conv_pallas.py) — removes the 128-lane
@@ -557,6 +565,7 @@ class RGBEncoderStage(nn.Module):
             train
             and not self.is_initializing()
             and self.dtype == jnp.bfloat16
+            and not self.spmd_pool  # Pallas has no GSPMD partition rule
         ):
             # train fast path: fused merged-layout Pallas blocks with batch
             # statistics and a custom VJP (ops/conv_pallas_train.py) —
