@@ -31,37 +31,75 @@ BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
 
 
-def _fused_mode(env_name: str, default: str) -> Optional[str]:
+def _ambient_dp_axis(batch: Optional[int]) -> Optional[str]:
+    """The ambient mesh's pure-data-parallel axis, if the fused Pallas paths
+    can ride it via ``jax.shard_map``.
+
+    Entry points that jit over a dp mesh wrap their calls in
+    ``jax.set_mesh(mesh)`` (parallel/mesh.py) so the mesh is visible at
+    trace time here. Requirements: a 'data' axis with size > 1, every other
+    axis size 1 (spatially sharded W cannot go through a pallas_call), and
+    the batch divisible by the axis size.
+    """
+    try:
+        am = jax.sharding.get_abstract_mesh()
+    except Exception:
+        return None
+    if am is None or not am.axis_names or "data" not in am.axis_names:
+        return None
+    if any(am.shape[n] > 1 for n in am.axis_names if n != "data"):
+        return None
+    size = am.shape["data"]
+    if size <= 1 or batch is None or batch % size:
+        return None
+    return "data"
+
+
+def _fused_mode(
+    env_name: str, default: str, batch: Optional[int] = None
+) -> Tuple[Optional[str], Optional[str]]:
     """Resolve a fused-path env flag (read at trace time).
 
-    Values: "auto" — compiled Pallas on a SINGLE-device TPU process, native
-    elsewhere (a pallas_call has no GSPMD partitioning rule, so auto never
-    routes where jit+NamedSharding dp/sp meshes would have to replicate it);
-    "0" — always native; "1" — Pallas on TPU (even multi-device), interpret-
-    mode elsewhere; "interpret" — force interpret mode (CPU parity tests).
-    Returns None (native), "tpu", or "interpret".
+    Values: "auto" — compiled Pallas wherever it is valid: single-device
+    TPU processes, and multi-device processes whose jit runs under an
+    ambient PURE-DP mesh (``jax.set_mesh``), where the kernels run
+    per-shard inside a ``jax.shard_map`` with BN statistics psum'd.
+    A multi-device process with NO ambient mesh stays native (a raw
+    pallas_call has no GSPMD partitioning rule, so a jit+NamedSharding
+    dp/sp mesh would have to replicate or reject it); "0" — always native;
+    "1" — force Pallas on TPU (single-device-only unless an ambient dp
+    mesh makes the shard_map wrap possible — under a sharded jit WITHOUT
+    one, compilation will fail; use "auto"); "interpret" — force interpret
+    mode (CPU parity tests; also rides the shard_map wrap under an
+    ambient dp mesh).
+
+    Returns (mode, dp_axis): mode None (native), "tpu", or "interpret";
+    dp_axis the shard_map axis name or None for a direct pallas_call.
     """
     mode = os.environ.get(env_name, default)
     if mode == "0":
-        return None
+        return None, None
     if mode == "interpret":
-        return "interpret"
+        return "interpret", _ambient_dp_axis(batch)
     if jax.default_backend() == "tpu":
-        if mode == "auto" and jax.device_count() > 1:
-            return None
-        return "tpu"
-    return "interpret" if mode == "1" else None
+        dp = _ambient_dp_axis(batch)
+        if mode == "auto" and jax.device_count() > 1 and dp is None:
+            return None, None
+        return "tpu", dp
+    if mode == "1":
+        return "interpret", _ambient_dp_axis(batch)
+    return None, None
 
 
-def _fused_eval_mode() -> Optional[str]:
-    return _fused_mode("I2PNET_FUSED_EVAL", "auto")
+def _fused_eval_mode(batch: Optional[int] = None):
+    return _fused_mode("I2PNET_FUSED_EVAL", "auto", batch)
 
 
-def _fused_train_mode() -> Optional[str]:
+def _fused_train_mode(batch: Optional[int] = None):
     # default "auto" since the round-3 TPU A/B: full free-point train step
     # 105.1 -> 91.5 ms (76.1 -> 87.5 pairs/s) at B=8 384x1280 bf16
     # (BASELINE.md round-3d; convergence guard re-run on the routed path)
-    return _fused_mode("I2PNET_FUSED_TRAIN", "auto")
+    return _fused_mode("I2PNET_FUSED_TRAIN", "auto", batch)
 
 
 class _RunningStats(nn.Module):
@@ -554,13 +592,16 @@ class RGBEncoderStage(nn.Module):
             # kernel per block (ops/conv_pallas.py) — removes the 128-lane
             # channel-padding HBM traffic of the small-channel convs
             # (measured 12.66 -> 5.42 ms / 7.86 -> 0.55 GB for the full
-            # encoder at B8 384x1280)
-            mode = _fused_eval_mode()
-            _, H, W, cin = x.shape
+            # encoder at B8 384x1280). Under an ambient pure-DP mesh the
+            # blocks run per-shard inside a shard_map over the data axis.
+            B, H, W, cin = x.shape
+            mode, dp_axis = _fused_eval_mode(B)
             if mode is not None and _cpal.stage_supported(
                 H, W, cin, self.channels, self.strides
             ):
-                return self._fused_eval(x, interpret=(mode == "interpret"))
+                return self._fused_eval(
+                    x, interpret=(mode == "interpret"), dp_axis=dp_axis
+                )
         if (
             train
             and not self.is_initializing()
@@ -570,13 +611,19 @@ class RGBEncoderStage(nn.Module):
             # train fast path: fused merged-layout Pallas blocks with batch
             # statistics and a custom VJP (ops/conv_pallas_train.py) —
             # removes the 128-lane channel-padding HBM traffic in BOTH
-            # directions. Opt-in via I2PNET_FUSED_TRAIN.
-            mode = _fused_train_mode()
-            _, H, W, cin = x.shape
+            # directions. Default since the round-3d A/B (91.5 vs 105.1 ms
+            # free train step; BASELINE.md round-3d); I2PNET_FUSED_TRAIN
+            # overrides. Under an ambient pure-DP mesh the stage runs
+            # per-shard in a shard_map with BN batch moments psum'd, so
+            # gradients match the global-batch native step.
+            B, H, W, cin = x.shape
+            mode, dp_axis = _fused_train_mode(B)
             if mode is not None and _cpt.stage_supported_train(
                 H, W, cin, self.channels, self.strides
             ):
-                return self._fused_train(x, interpret=(mode == "interpret"))
+                return self._fused_train(
+                    x, interpret=(mode == "interpret"), dp_axis=dp_axis
+                )
         bn_dt = self.dtype if (self.bn_compute_dtype and self.dtype is not None) else None
         for ch, s in zip(self.channels, self.strides):
             x = nn.Conv(
@@ -612,7 +659,13 @@ class RGBEncoderStage(nn.Module):
             x = max_pool_3x3(x, s, spmd_safe=self.spmd_pool)
         return x
 
-    def _fused_eval(self, x: jnp.ndarray, *, interpret: bool) -> jnp.ndarray:
+    def _fused_eval(
+        self,
+        x: jnp.ndarray,
+        *,
+        interpret: bool,
+        dp_axis: Optional[str] = None,
+    ) -> jnp.ndarray:
         """Apply the stage via the fused Pallas blocks (eval-mode only).
 
         Reads the Conv_j/BatchNorm_j params + running stats directly from
@@ -621,6 +674,10 @@ class RGBEncoderStage(nn.Module):
         Numerics match the native bf16 path up to bf16 matmul accumulation
         order (BN applied in f32; the native bn_compute_dtype=True path
         applies it in bf16 — same rounding magnitude).
+
+        dp_axis: run per-shard under ``jax.shard_map`` over that ambient
+        mesh axis (weights replicated, batch sharded) — eval blocks are
+        per-example, so no collective is needed.
         """
         v = self.variables
         params, stats = v["params"], v["batch_stats"]
@@ -641,9 +698,8 @@ class RGBEncoderStage(nn.Module):
             packed.append(
                 (_cpal.pack_block_weights(w).astype(jnp.bfloat16), sc, sh)
             )
-        return _cpal.fused_encoder_stage(
-            x.astype(jnp.bfloat16),
-            packed,
+        run = partial(
+            _cpal.fused_encoder_stage,
             H=H,
             W=W,
             cin=cin,
@@ -651,8 +707,27 @@ class RGBEncoderStage(nn.Module):
             strides=self.strides,
             interpret=interpret,
         )
+        xb = x.astype(jnp.bfloat16)
+        if dp_axis is not None:
+            from jax.sharding import PartitionSpec as _P
 
-    def _fused_train(self, x: jnp.ndarray, *, interpret: bool) -> jnp.ndarray:
+            # check_vma off: pallas_call carries no varying-mesh-axes info
+            # for the checker; correctness is pinned by tests/test_dp_fused.py
+            return jax.shard_map(
+                run,
+                in_specs=(_P(dp_axis), _P()),
+                out_specs=_P(dp_axis),
+                check_vma=False,
+            )(xb, packed)
+        return run(xb, packed)
+
+    def _fused_train(
+        self,
+        x: jnp.ndarray,
+        *,
+        interpret: bool,
+        dp_axis: Optional[str] = None,
+    ) -> jnp.ndarray:
         """Apply the stage via the fused train-mode Pallas path.
 
         Reads Conv_j/BatchNorm_j params from the bound variables (grads
@@ -661,6 +736,13 @@ class RGBEncoderStage(nn.Module):
         and updates batch_stats/BatchNorm_j/{mean,var} with the flax
         momentum rule via _RunningStats submodules (same tree paths as
         the native nn.BatchNorm).
+
+        dp_axis: run per-shard under ``jax.shard_map`` over that ambient
+        pure-DP mesh axis. The BN batch moments are psum'd across the axis
+        inside fused_stage_train, so the normalization, the returned
+        stats, and the gradients all match the global-batch computation
+        GSPMD produces for the native path (shard_map's transpose psums
+        the replicated weights' cotangents).
         """
         params = self.variables["params"]
         _, H, W, cin = x.shape
@@ -673,9 +755,8 @@ class RGBEncoderStage(nn.Module):
             )
             for j in range(len(self.channels))
         ]
-        out, stats = _cpt.fused_stage_train(
-            x,
-            blocks,
+        run = partial(
+            _cpt.fused_stage_train,
             H=H,
             W=W,
             cin=cin,
@@ -683,7 +764,21 @@ class RGBEncoderStage(nn.Module):
             strides=self.strides,
             eps=BN_EPS,
             interpret=interpret,
+            axis_name=dp_axis,
         )
+        if dp_axis is not None:
+            from jax.sharding import PartitionSpec as _P
+
+            # check_vma off (pallas_call has no vma info); the stats are
+            # psum'd inside so the P() out_spec is genuinely replicated
+            out, stats = jax.shard_map(
+                run,
+                in_specs=(_P(dp_axis), _P()),
+                out_specs=(_P(dp_axis), _P()),
+                check_vma=False,
+            )(x, blocks)
+        else:
+            out, stats = run(x, blocks)
         for j, (mean, var) in enumerate(stats):
             _RunningStats(name=f"BatchNorm_{j}")(mean, var)
         return out

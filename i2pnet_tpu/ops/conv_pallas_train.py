@@ -884,6 +884,7 @@ def fused_stage_train(
     strides,
     eps: float = 1e-5,
     interpret: bool = False,
+    axis_name=None,
 ):
     """One RGB-encoder stage, training mode, on the merged layout.
 
@@ -894,6 +895,11 @@ def fused_stage_train(
     ``x.astype(f32); batch_norm(train=True)``) -> bn_pool with the
     batch-resolved scale/shift. The stats coupling (d var/d y etc.) is
     plain XLA autodiff through the scale/shift algebra.
+
+    axis_name: when run per-shard inside a ``jax.shard_map`` over a data-
+    parallel mesh axis, psum the batch moments over that axis so the
+    normalization (and its gradient) uses GLOBAL batch statistics —
+    matching what GSPMD produces for the native path under a dp jit.
 
     Returns ((B, Ho, Wo, channels[-1]) bf16, [(mean_j, var_j) ...]).
     Ref semantics: basicConv.py:6-20 / train-mode BatchNorm2d.
@@ -908,8 +914,14 @@ def fused_stage_train(
         y = conv_train(xm, w, b, H=H, W=W, interpret=interpret)
         yf = y.astype(jnp.float32)
         n = B * H * W
-        mean = yf.sum((0, 1)).reshape(W, ch).sum(0) / n
-        mean2 = (yf * yf).sum((0, 1)).reshape(W, ch).sum(0) / n
+        s1 = yf.sum((0, 1)).reshape(W, ch).sum(0)
+        s2 = (yf * yf).sum((0, 1)).reshape(W, ch).sum(0)
+        if axis_name is not None:
+            s1 = jax.lax.psum(s1, axis_name)
+            s2 = jax.lax.psum(s2, axis_name)
+            n = n * jax.lax.psum(1, axis_name)
+        mean = s1 / n
+        mean2 = s2 / n
         var = mean2 - mean * mean
         sc = gamma.astype(jnp.float32) * jax.lax.rsqrt(var + eps)
         sh = beta.astype(jnp.float32) - mean * sc

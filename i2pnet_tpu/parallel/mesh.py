@@ -43,15 +43,32 @@ def shard_train_step(train_step, mesh: Mesh, axis_name: str = "data"):
     State (params, opt state, BN stats) replicated; batch sharded along its
     leading axis; outputs (state, metrics) replicated. XLA turns the batch
     reductions inside grad/BN into psums over ICI.
+
+    Calls run under ``jax.set_mesh(mesh)`` so the mesh is ambient at trace
+    time: the fused Pallas encoder detects the pure-DP axis and rides it
+    per-shard via shard_map (nn/layers.py _ambient_dp_axis) instead of
+    falling back to the native encoder.
     """
     repl = replicate_spec(mesh)
     data = batch_spec(mesh, axis_name)
-    return jax.jit(
+    jitted = jax.jit(
         train_step,
         in_shardings=(repl, data, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+    def call(state, batch, rng):
+        with jax.set_mesh(mesh):
+            return jitted(state, batch, rng)
+
+    def lower(*args, **kwargs):
+        with jax.set_mesh(mesh):
+            return jitted.lower(*args, **kwargs)
+
+    call.jitted = jitted
+    call.lower = lower
+    return call
 
 
 # ---------------------------------------------------------------------------
@@ -110,12 +127,21 @@ def shard_train_step_spatial(train_step, mesh: Mesh, batch: dict):
     the flattened image features meet the replicated-in-space point branch.
     `batch` supplies the key set for the per-leaf specs."""
     repl = replicate_spec(mesh)
-    return jax.jit(
+    jitted = jax.jit(
         train_step,
         in_shardings=(repl, spatial_batch_specs(mesh, batch), repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+    def call(state, batch_, rng):
+        # ambient mesh for trace-time introspection; the 'space' axis keeps
+        # the fused Pallas paths off (nn/layers.py _ambient_dp_axis)
+        with jax.set_mesh(mesh):
+            return jitted(state, batch_, rng)
+
+    call.jitted = jitted
+    return call
 
 
 def shard_batch_spatial(mesh: Mesh, batch: dict) -> dict:
