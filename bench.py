@@ -4,11 +4,23 @@ Headline metric: flagship forward (free-point I2PNet, shipped config, KITTI
 small-range shapes: batch 8, N=8192 points, 384x1280 image — matching the
 reference eval protocol batch size, ref evaluation_proj.py:239-264).
 
-The same JSON line additionally carries the other two hot paths so
+The same JSON line additionally carries the other three hot paths so
 regressions in any of them show in BENCH_r*.json:
-  * proj_fwd_pairs_per_sec  — projection model forward (150k pts, 64x1800
+  * proj_fwd_pairs_per_sec   — projection model forward (150k pts, 64x1800
     spherical grid, ref evaluation_proj.py protocol shapes)
-  * train_pairs_per_sec     — free-point fused train step (fwd+bwd+Adam)
+  * train_pairs_per_sec      — free-point fused train step (fwd+bwd+Adam)
+  * proj_train_pairs_per_sec — projection train step
+
+Regression-gate methodology (round 4, after BENCH_r03's proj numbers
+silently lost 29% to host state):
+  * each model family runs in its OWN subprocess (a stuck remote compile
+    kills only that family via timeout, not the whole bench — the round-3
+    tunnel lesson);
+  * each path takes the MEDIAN of >= 3 independent 20-iteration windows
+    (10-iter windows under host load mismeasure by ~10%, BASELINE.md
+    round-3 methodology note) and reports the window spread
+    (max-min)/median in *_spread_pct fields, so an unquiet host is visible
+    in the artifact instead of silently recorded as a regression.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
 the denominator below is the driver north star's reference-GPU estimate used
@@ -19,11 +31,10 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 # Estimated reference single-GPU pairs/sec (batch 8 eval protocol). No
 # published value exists in-repo (BASELINE.md); documented assumption.
@@ -31,26 +42,39 @@ REFERENCE_PAIRS_PER_SEC = 40.0
 
 BATCH = 8
 IMG_H, IMG_W = 384, 1280
+WINDOWS = 3
+ITERS = 20
+SUBPROCESS_TIMEOUT_S = 1800
 
 
 def sync(x):
     # NOTE: jax.block_until_ready does NOT actually block on the axon
     # tunnel; force completion by pulling a scalar to the host (FIFO queue
     # means one pull fences all queued work).
+    import jax
+    import numpy as np
+
     return np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[0]))
 
 
-def time_fn(fn, args, iters):
-    out = fn(*args)  # warmup / compile
-    sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    sync(out)
-    return time.perf_counter() - t0
+def _windows(run_iters, warmup):
+    """Median pairs/s over WINDOWS independent timing windows + spread."""
+    warmup()
+    vals = []
+    for _ in range(WINDOWS):
+        dt = run_iters(ITERS)
+        vals.append(BATCH * ITERS / dt)
+    vals.sort()
+    med = vals[len(vals) // 2]
+    spread = (vals[-1] - vals[0]) / med * 100.0
+    return med, spread
 
 
-def bench_free_point_forward():
+def bench_free_point():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from i2pnet_tpu.config import I2PNetConfig
     from i2pnet_tpu.models import I2PNet
 
@@ -80,9 +104,17 @@ def bench_free_point_forward():
         out = model.apply(variables, rgb, lidar, intrinsic, train=False)
         return out["out3"], out["out4"]
 
-    iters = 20
-    dt = time_fn(forward, (variables, rgb, lidar, intrinsic), iters)
-    fwd_pairs = BATCH * iters / dt
+    def fwd_window(iters):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = forward(variables, rgb, lidar, intrinsic)
+        sync(out)
+        return time.perf_counter() - t0
+
+    fwd, fwd_spread = _windows(
+        fwd_window, lambda: sync(forward(variables, rgb, lidar, intrinsic))
+    )
 
     # fused train step on the same shapes (fwd + loss + bwd + Adam)
     from i2pnet_tpu.train import create_train_state, make_train_step
@@ -94,20 +126,33 @@ def bench_free_point_forward():
     }
     state = create_train_state(model, variables, steps_per_epoch=100)
     step = jax.jit(make_train_step(model, cfg), donate_argnums=(0,))
-    state, m = step(state, batch, jax.random.key(0))  # warmup / compile
-    sync(m["loss"])
-    # 20 iters: 10-iteration windows showed ~10% host-dispatch noise
-    # (BASELINE.md round-3 methodology note)
-    iters = 20
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, m = step(state, batch, jax.random.key(i))
-    sync(m["loss"])
-    train_pairs = BATCH * iters / (time.perf_counter() - t0)
-    return fwd_pairs, train_pairs
+
+    def train_warmup():
+        nonlocal state
+        state, m = step(state, batch, jax.random.key(0))
+        sync(m["loss"])
+
+    def train_window(iters):
+        nonlocal state
+        t0 = time.perf_counter()
+        m = None
+        for i in range(iters):
+            state, m = step(state, batch, jax.random.key(i))
+        sync(m["loss"])
+        return time.perf_counter() - t0
+
+    train, train_spread = _windows(train_window, train_warmup)
+    return {
+        "fwd": fwd, "fwd_spread": fwd_spread,
+        "train": train, "train_spread": train_spread,
+    }
 
 
-def bench_proj_forward():
+def bench_proj():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from i2pnet_tpu.config import I2PNetProjConfig
     from i2pnet_tpu.models import I2PNetProj
     from i2pnet_tpu.ops import quaternion as Q
@@ -132,9 +177,18 @@ def bench_proj_forward():
     fwd = jax.jit(
         lambda v, r, l, w, i: model.apply(v, r, l, w, i, train=False)["out3"]
     )
-    iters = 20  # >= 20 iters per the round-3 timing rule (CLAUDE.md)
-    dt = time_fn(fwd, (variables, rgb, lidar, raw, intr), iters)
-    fwd_pairs = BATCH * iters / dt
+
+    def fwd_window(iters):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fwd(variables, rgb, lidar, raw, intr)
+        sync(out)
+        return time.perf_counter() - t0
+
+    proj_fwd, proj_fwd_spread = _windows(
+        fwd_window, lambda: sync(fwd(variables, rgb, lidar, raw, intr))
+    )
 
     # proj train step (fwd+bwd+Adam) — the path large-range training runs
     # (ref train20v2learn_wandb_proj.py); in the JSON so regressions show
@@ -147,34 +201,74 @@ def bench_proj_forward():
     }
     state = create_train_state(model, variables, steps_per_epoch=100)
     step = jax.jit(make_train_step_proj(model, cfg), donate_argnums=(0,))
-    state, m = step(state, batch, jax.random.key(0))  # warmup / compile
-    sync(m["loss"])
-    iters = 20  # see free-point train comment
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, m = step(state, batch, jax.random.key(i))
-    sync(m["loss"])
-    train_pairs = BATCH * iters / (time.perf_counter() - t0)
-    return fwd_pairs, train_pairs
+
+    def train_warmup():
+        nonlocal state
+        state, m = step(state, batch, jax.random.key(0))
+        sync(m["loss"])
+
+    def train_window(iters):
+        nonlocal state
+        t0 = time.perf_counter()
+        m = None
+        for i in range(iters):
+            state, m = step(state, batch, jax.random.key(i))
+        sync(m["loss"])
+        return time.perf_counter() - t0
+
+    proj_train, proj_train_spread = _windows(train_window, train_warmup)
+    return {
+        "fwd": proj_fwd, "fwd_spread": proj_fwd_spread,
+        "train": proj_train, "train_spread": proj_train_spread,
+    }
+
+
+def _run_family(name):
+    fn = {"free": bench_free_point, "proj": bench_proj}[name]
+    print(json.dumps({"family": name, **fn()}))
 
 
 def main():
-    fwd_pairs, train_pairs = bench_free_point_forward()
-    proj_pairs, proj_train_pairs = bench_proj_forward()
-    print(
-        json.dumps(
-            {
-                "metric": "image_lidar_pairs_per_sec_per_chip",
-                "value": round(fwd_pairs, 2),
-                "unit": "pairs/s",
-                "vs_baseline": round(fwd_pairs / REFERENCE_PAIRS_PER_SEC, 3),
-                "proj_fwd_pairs_per_sec": round(proj_pairs, 2),
-                "train_pairs_per_sec": round(train_pairs, 2),
-                "proj_train_pairs_per_sec": round(proj_train_pairs, 2),
-            }
-        )
-    )
+    # orchestrate: each family in its own subprocess so a wedged compile
+    # (round-3 tunnel failure mode) can only take out its own numbers
+    results = {}
+    for family in ("free", "proj"):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--family", family],
+                capture_output=True, text=True, timeout=SUBPROCESS_TIMEOUT_S,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            results[family] = json.loads(line)
+        except Exception as e:  # timeout, no JSON, crash
+            results[family] = {"error": f"{type(e).__name__}"}
+
+    free, proj = results["free"], results["proj"]
+    record = {
+        "metric": "image_lidar_pairs_per_sec_per_chip",
+        "value": round(free.get("fwd", 0.0), 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(free.get("fwd", 0.0) / REFERENCE_PAIRS_PER_SEC, 3),
+        "train_pairs_per_sec": round(free.get("train", 0.0), 2),
+        "proj_fwd_pairs_per_sec": round(proj.get("fwd", 0.0), 2),
+        "proj_train_pairs_per_sec": round(proj.get("train", 0.0), 2),
+        # window spreads ((max-min)/median, %): >~5% means the host was not
+        # quiet and the medians should be re-measured before gating on them
+        "fwd_spread_pct": round(free.get("fwd_spread", -1.0), 1),
+        "train_spread_pct": round(free.get("train_spread", -1.0), 1),
+        "proj_fwd_spread_pct": round(proj.get("fwd_spread", -1.0), 1),
+        "proj_train_spread_pct": round(proj.get("train_spread", -1.0), 1),
+        "windows": WINDOWS,
+        "iters_per_window": ITERS,
+    }
+    for family, r in results.items():
+        if "error" in r:
+            record[f"{family}_error"] = r["error"]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--family":
+        _run_family(sys.argv[2])
+    else:
+        main()

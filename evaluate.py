@@ -105,11 +105,16 @@ def main(argv=None):
 
         pp = dict(KITTI_ONLINE_CALIB["test"])
         pp["base_path"] = args.root_path
+        sp = {}
+        if args.tiny:
+            # smoke-test geometry (mirrors train.py's kitti tiny override)
+            pp.update(resize_w=128, resize_h=64)
+            sp = dict(sample_point=getattr(cfg, "lidar_in_points", 2048))
         test_ds = KittiRawCalibDataset(
             pp["base_path"], pp["date"], pp["drives"], d_rot=pp["d_rot"],
             d_trans=pp["d_trans"], fixed_decalib=True,
             resize_w=pp["resize_w"], resize_h=pp["resize_h"], seed=args.seed,
-            emit_calib=getattr(args, "efgh", False),
+            emit_calib=getattr(args, "efgh", False), **sp,
         )
     elif args.dataset in ("nus_cmr_snr", "nus_corr_nolidar"):
         import glob as _g

@@ -38,7 +38,13 @@ def maybe_initialize_distributed(
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
-    auto_tpu = os.environ.get("TPU_WORKER_HOSTNAMES") is not None
+    # cloud-TPU auto-config only counts when the worker list names MORE
+    # THAN ONE host: this box's base environment exports
+    # TPU_WORKER_HOSTNAMES=localhost for its single-chip tunnel, and
+    # jax.distributed.initialize() with no coordinator raises there
+    # (caught by tests/test_cli_smoke.py)
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES")
+    auto_tpu = hosts is not None and len(hosts.split(",")) > 1
     if coordinator_address is None and not auto_tpu:
         return False
     kwargs = {}
@@ -48,7 +54,15 @@ def maybe_initialize_distributed(
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError) as e:
+        # the documented contract is "safe to call unconditionally":
+        # a half-configured environment degrades to single-process
+        import warnings
+
+        warnings.warn(f"jax.distributed.initialize skipped: {e}")
+        return False
     return True
 
 

@@ -107,6 +107,16 @@ def restore_inference_variables(
         abstract = create_train_state(model, variables, **hp)
         state, _ = mgr.restore(abstract)
         return state.params, state.batch_stats
+    if not os.path.isdir(os.path.join(log_dir, "best", best)):
+        # no best snapshot (e.g. the run had no validation split):
+        # degrade to the newest full train state instead of failing
+        import warnings
+
+        warnings.warn(
+            f"best snapshot '{best}' absent under {log_dir}/best; "
+            "restoring the latest full train state instead"
+        )
+        return restore_inference_variables(log_dir, model, variables, "latest")
     restored = mgr.restore_best(
         best,
         {

@@ -403,6 +403,11 @@ class Trainer:
                 [M.quat_to_rotmat_batch(gt_q), gt_t.reshape(-1, 3, 1)], -1
             )
             msees.append(M.eval_msee(out3, M.extrinsic_to_se3(gt_E_raw)))
+        if not axis_errs:
+            raise ValueError(
+                "validation loader produced no batches — the validation "
+                "split is empty under this root_path"
+            )
         rte_mean, rte_std, rre_mean, rre_std = ev.eval_seq()
         axis = np.concatenate([np.stack(a, -1) for a in axis_errs], 0).mean(0)
         return {

@@ -57,8 +57,13 @@ class UniWriter:
             self._wandb.log({tag: value}, step=step)
 
     def add_image(self, tag: str, img: np.ndarray, step: int) -> None:
+        # fan out to BOTH TB and wandb, matching ref monitor/base.py:41-56
         if self._tb is not None:
             self._tb.add_image(tag, img, step, dataformats="HWC")
+        if self._wandb is not None:
+            import wandb
+
+            self._wandb.log({tag: wandb.Image(np.asarray(img))}, step=step)
 
     def text_log(self, filename: str, line: str) -> None:
         with open(os.path.join(self.log_dir, filename), "a") as f:

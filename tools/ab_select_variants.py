@@ -73,14 +73,20 @@ def make_inputs(cfg):
 
 
 def main():
+    import dataclasses
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--variants", default=",".join(VARIANTS))
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument(
+        "--dtype", default="float32", choices=["float32", "bfloat16"],
+        help="conv/MLP compute dtype (distance/Lie math stays f32 either "
+        "way — same mixed-precision recipe as the free-point config)")
     args = ap.parse_args()
-    print(f"backend: {jax.default_backend()}", flush=True)
+    print(f"backend: {jax.default_backend()} dtype: {args.dtype}", flush=True)
 
-    cfg = I2PNetProjConfig()
+    cfg = dataclasses.replace(I2PNetProjConfig(), compute_dtype=args.dtype)
     model = I2PNetProj(cfg)
     rgb, lidar, raw, intr = make_inputs(cfg)
 

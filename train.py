@@ -125,11 +125,16 @@ def build(args):
     elif args.dataset == "kitti":
         pp = dict(KITTI_ONLINE_CALIB["train"])
         pp["base_path"] = args.root_path
+        sp = {}
+        if args.tiny:
+            # smoke-test geometry: /32-clean image, config-matched points
+            pp.update(resize_w=128, resize_h=64)
+            sp = dict(sample_point=cfg.lidar_in_points)
         train_ds = KittiRawCalibDataset(
             pp["base_path"], pp["date"], pp["drives"], d_rot=pp["d_rot"],
             d_trans=pp["d_trans"], fixed_decalib=pp["fixed_decalib"],
             resize_w=pp["resize_w"], resize_h=pp["resize_h"], seed=args.seed,
-            emit_calib=getattr(args, "efgh", False),
+            emit_calib=getattr(args, "efgh", False), **sp,
         )
         valid_ds = None
     elif args.dataset == "nus_cmr_snr":
