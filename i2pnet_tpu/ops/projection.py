@@ -557,11 +557,17 @@ def select_window_features_packed(
     """select_window_features over several same-grid feature tensors with
     ONE candidate stack + gather: channel-concat the grids, select, split.
 
+    I2PNET_PACKED_SELECT=0 falls back to per-tensor selects (the pre-pack
+    round-2 routing) for in-situ A/B — the pack landed during a tunnel
+    outage with "TPU A/B pending" and BENCH_r03's proj fwd dropped 29%.
+
     Equal to per-tensor calls (take_along_axis is per-channel independent)
     but builds the khw-slot candidate stack once instead of once per
     tensor — the stack construction, not the K-gather, carries the HBM
     traffic at the wide pyramid levels.
     """
+    if os.environ.get("I2PNET_PACKED_SELECT", "1") == "0":
+        return [select_window_features(f, args, **wargs) for f in feat_grids]
     packed = jnp.concatenate(list(feat_grids), axis=-1)
     picked = select_window_features(packed, args, **wargs)
     outs, off = [], 0
