@@ -48,9 +48,14 @@ VARIANTS = {
         "I2PNET_DENSE_PN": "2", "I2PNET_WC_STACK": "1"},
     "fused_pn": {"I2PNET_DENSE_PN": "3"},
     "unpacked": {"I2PNET_PACKED_SELECT": "0"},
+    "unpacked+wc_stack": {
+        "I2PNET_PACKED_SELECT": "0", "I2PNET_WC_STACK": "1"},
     "unpacked+dense_pn": {"I2PNET_PACKED_SELECT": "0", "I2PNET_DENSE_PN": "1"},
     "unpacked+dense_pn+wc_stack": {
         "I2PNET_PACKED_SELECT": "0", "I2PNET_DENSE_PN": "1",
+        "I2PNET_WC_STACK": "1"},
+    "unpacked+dense_pn_pallas+wc_stack": {
+        "I2PNET_PACKED_SELECT": "0", "I2PNET_DENSE_PN": "2",
         "I2PNET_WC_STACK": "1"},
 }
 
