@@ -26,10 +26,30 @@ from i2pnet_tpu.nn.layers import PointwiseConv, PointwiseMLP
 from i2pnet_tpu.ops.pointops import grouping, safe_norm
 from i2pnet_tpu.ops.projection import (
     check_valid,
-    select_window_features_packed,
+    select_window_features_multi,
     strided_downsample,
     window_neighbor_select_grid,
 )
+
+
+def proj_dense_eval_enabled(train: bool) -> bool:
+    """Trace-time gate for the dense-eval ProjectPointNet path.
+
+    Default ("auto"): engaged at eval on TPU only — the measured winner
+    (proj fwd 158.3 -> 188.7 pairs/s bf16, BASELINE.md round-4: dense
+    multiplicity path + Pallas selection kernel + slot-stacked candidate
+    builder). Training keeps the gathered path (dense measured -9% on the
+    train step). I2PNET_PROJ_DENSE_EVAL=0 disables; =1 forces it on any
+    backend (interpret-mode Pallas off-TPU — CPU tests only, slow).
+    """
+    if train:
+        return False
+    v = os.environ.get("I2PNET_PROJ_DENSE_EVAL", "auto")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 class ProjectPointNet(nn.Module):
@@ -67,17 +87,23 @@ class ProjectPointNet(nn.Module):
     ):
         B, H, W, _ = xyz.shape
         N = self.out_h * self.out_w
-        dense_mode = os.environ.get("I2PNET_DENSE_PN", "0")
-        if self.use_bn and not self.is_initializing() and dense_mode != "0":
-            # dense multiplicity-weighted path: no K-gathers, MLP over all
-            # khw+1 slots + masked max (ops/dense_window.py; same real-
-            # number semantics, oracle-tested). Opt-in pending TPU A/B.
-            # mode "2": multiplicities from the Pallas K-pass kernel
-            # (compiled on TPU, interpret elsewhere) instead of top_k.
-            # mode "3": fully fused Pallas level (ops/pointnet_pallas.py):
-            # selection + stencil MLP + weighted BN + masked max in VMEM.
+        if (
+            self.use_bn
+            and not self.is_initializing()
+            and proj_dense_eval_enabled(train)
+        ):
+            # dense multiplicity-weighted eval path: no K-gathers, MLP
+            # over all khw+1 slots + masked max, multiplicities from the
+            # Pallas K-pass kernel (ops/dense_window.py +
+            # ops/select_pallas.py; same real-number semantics as the
+            # gathered path, oracle-tested). Training keeps the gathered
+            # path — dense measured slower there (BASELINE.md round-4).
+            from i2pnet_tpu.ops.dense_window import dense_pointnet_eval
+
             interp = jax.default_backend() != "tpu"
-            common = dict(
+            return dense_pointnet_eval(
+                xyz_raw, xyz, feature, self.variables["params"],
+                pallas_m="interpret" if interp else "tpu",
                 out_h=self.out_h, out_w=self.out_w,
                 stride_h=self.stride_h, stride_w=self.stride_w,
                 kernel_size=self.kernel_size, nsample=self.nsample,
@@ -85,26 +111,6 @@ class ProjectPointNet(nn.Module):
                 center_mode=center_mode, dist_mode=dist_mode,
                 using_intens=using_intens, raw_feat_point=raw_feat_point,
                 use_trans=self.use_trans, dtype=self.dtype,
-            )
-            if dense_mode == "3" and not train:
-                # eval-only: the fused passes carry no VJP (training
-                # keeps the gathered path, like the fused RGB encoder)
-                from i2pnet_tpu.ops.pointnet_pallas import dense_pointnet_fused
-
-                return dense_pointnet_fused(
-                    xyz_raw, xyz, feature, self.variables["params"],
-                    interpret=interp, **common,
-                )
-            if dense_mode == "3":
-                dense_mode = "2"
-            from i2pnet_tpu.ops.dense_window import dense_pointnet_eval
-
-            pallas_m = None
-            if dense_mode == "2":
-                pallas_m = "interpret" if interp else "tpu"
-            return dense_pointnet_eval(
-                xyz_raw, xyz, feature, self.variables["params"],
-                pallas_m=pallas_m, **common,
             )
         new_xyz = strided_downsample(xyz, self.out_h, self.out_w, self.stride_h, self.stride_w)
         new_xyz_raw = strided_downsample(xyz_raw, self.out_h, self.out_w, self.stride_h, self.stride_w)
@@ -124,8 +130,8 @@ class ProjectPointNet(nn.Module):
         )
         src = xyz_raw if raw_feat_point else xyz
         ctr = new_xyz_raw if raw_feat_point else new_xyz
-        # one packed candidate stack + gather for both tensors
-        grouped_points, grouped_xyz = select_window_features_packed(
+        # per-tensor selects (packed variant measured -30%, BASELINE.md r4)
+        grouped_points, grouped_xyz = select_window_features_multi(
             [feature, src], args, **wargs)
         grouped_norm = grouped_xyz - ctr.reshape(B, N, 1, 3)
 
@@ -204,7 +210,7 @@ class ProjSetUpconv(nn.Module):
         )
         src2 = xyz2_raw if raw_feat_point else xyz2
         ctr1 = xyz1_raw if raw_feat_point else xyz1
-        grouped_xyz, grouped_feat2 = select_window_features_packed(
+        grouped_xyz, grouped_feat2 = select_window_features_multi(
             [src2, feat2], args, **wargs)
         diff = grouped_xyz - ctr1.reshape(B, N, 1, 3)
         if dist_mode:
@@ -330,7 +336,7 @@ class ProjCostVolume(nn.Module):
             self.nsample, stride=(1, 1), distance=self.distance, shift=True,
             copy=False,
         )
-        pc_xyz_grouped, pc_points_grouped = select_window_features_packed(
+        pc_xyz_grouped, pc_points_grouped = select_window_features_multi(
             [warped_grid, pi_feat1_new.reshape(B, self.H, self.W, -1)],
             args, **wargs,
         )

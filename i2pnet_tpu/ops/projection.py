@@ -20,6 +20,7 @@ Covers the reference's projectPN primitives:
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import List, Optional, Sequence, Tuple
 
@@ -28,6 +29,30 @@ import jax.numpy as jnp
 import numpy as np
 
 _INVALID_DIST = 1e10
+
+# Trace-time routing for the stride-(1,1) window-candidate builder.
+# False (default): take-based builder — the MEASURED winner when the
+# consumer GATHERS K of the khw candidates (XLA fuses each shifted take
+# into the gather; slot-stacking lost fwd 147.1 vs 158.3 pairs/s,
+# BASELINE.md round-4). True: the slot-stacked static-slice builder —
+# the winner when the consumer MATERIALIZES all khw slots (the dense
+# eval path; +13% proj fwd in the same table). The proj model enables it
+# for its dense-eval traces via stack_builder_scope; I2PNET_WC_STACK=0/1
+# force-overrides either way for A/B.
+_STACK_BUILDER = False
+
+
+@contextlib.contextmanager
+def stack_builder_scope(enable: bool = True):
+    """Route stride-(1,1) window_candidates through the slot-stacked
+    builder within this (trace-time) scope."""
+    global _STACK_BUILDER
+    prev = _STACK_BUILDER
+    _STACK_BUILDER = bool(enable)
+    try:
+        yield
+    finally:
+        _STACK_BUILDER = prev
 
 
 def _patches_eligible(out_h, out_w, qstride, stride, kernel_size, h2, w2,
@@ -344,7 +369,8 @@ def _window_candidates_stack(src, out_h, out_w, qstride, kernel_size, shift):
     (rows edge-clamped == the clip semantics, cols wrapped/clamped) and
     take one STATIC strided slice per (dh, dw) slot, stacked directly in
     the (B, N, khw, C) target order — no 6-D transpose, no take gathers.
-    Opt-in via I2PNET_WC_STACK=1 pending an in-situ TPU A/B."""
+    Routed via stack_builder_scope (the dense eval path, where it wins);
+    loses under gather-shaped consumers — see _STACK_BUILDER above."""
     B, h2, w2, C = src.shape
     kh, kw = kernel_size
     qh, qw = qstride
@@ -391,7 +417,9 @@ def window_candidates(
     """
     B, h2, w2, C = src.shape
     kh, kw = kernel_size
-    if stride == (1, 1) and os.environ.get("I2PNET_WC_STACK") == "1":
+    env = os.environ.get("I2PNET_WC_STACK")
+    use_stack = _STACK_BUILDER if env is None else env == "1"
+    if stride == (1, 1) and use_stack:
         return _window_candidates_stack(
             src, out_h, out_w, qstride, kernel_size, shift)
     ch = (jnp.arange(out_h, dtype=jnp.int32) * qstride[0]) // stride[0]
@@ -549,33 +577,23 @@ def select_window_features(
     return jnp.take_along_axis(candidates, args[..., None], axis=2)
 
 
-def select_window_features_packed(
+def select_window_features_multi(
     feat_grids: Sequence[jnp.ndarray],
     args: jnp.ndarray,
     **wargs,
 ) -> List[jnp.ndarray]:
-    """select_window_features over several same-grid feature tensors with
-    ONE candidate stack + gather: channel-concat the grids, select, split.
+    """select_window_features over several same-grid feature tensors.
 
-    I2PNET_PACKED_SELECT=0 falls back to per-tensor selects (the pre-pack
-    round-2 routing) for in-situ A/B — the pack landed during a tunnel
-    outage with "TPU A/B pending" and BENCH_r03's proj fwd dropped 29%.
-
-    Equal to per-tensor calls (take_along_axis is per-channel independent)
-    but builds the khw-slot candidate stack once instead of once per
-    tensor — the stack construction, not the K-gather, carries the HBM
-    traffic at the wide pyramid levels.
+    Deliberately per-tensor: a channel-concat "packed" variant (one
+    candidate stack + gather for all grids) measured 30% SLOWER in the
+    full proj step (fwd 110.6 vs 158.3 pairs/s, BASELINE.md round-4) —
+    the concat forces XLA to materialize the packed (B,N,khw,C_total)
+    candidate stack in HBM, while per-tensor selects fuse each candidate
+    build into its consumer (same fusion-context lesson as the im2col
+    builder). It was the BENCH_r03 proj regression; do not re-pack
+    without a full-step A/B showing otherwise.
     """
-    if os.environ.get("I2PNET_PACKED_SELECT", "1") == "0":
-        return [select_window_features(f, args, **wargs) for f in feat_grids]
-    packed = jnp.concatenate(list(feat_grids), axis=-1)
-    picked = select_window_features(packed, args, **wargs)
-    outs, off = [], 0
-    for f in feat_grids:
-        c = f.shape[-1]
-        outs.append(picked[..., off:off + c])
-        off += c
-    return outs
+    return [select_window_features(f, args, **wargs) for f in feat_grids]
 
 
 def pixel_posinfo(B: int, H: int, W: int, intrinsic: jnp.ndarray) -> jnp.ndarray:

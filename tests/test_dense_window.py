@@ -113,86 +113,29 @@ def test_selection_multiplicity_pallas_exact(out_hw, qstride, kernel, K,
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
-@pytest.mark.parametrize("center_mode,using_intens,dtype", [
-    (True, False, None),
-    (True, False, jnp.bfloat16),
-    (True, True, None),
-    (False, False, None),
-])
-def test_fused_pointnet_matches_module(center_mode, using_intens, dtype):
-    """dense_pointnet_fused (Pallas interpret) vs the gathered module:
-    same params, matching outputs at BN-reduction-order tolerance."""
-    from i2pnet_tpu.ops.pointnet_pallas import dense_pointnet_fused
-
-    xyz_raw, xyz, feat = _grids(7)
-    kw = dict(
-        out_h=4, out_w=8, stride_h=2, stride_w=2, kernel_size=(3, 5),
-        nsample=4, distance=1.5, mlp=(8, 16),
-    )
-    mod = ProjectPointNet(use_trans=True, use_bn=True, dtype=dtype, **kw)
-    variables = mod.init(
-        jax.random.PRNGKey(2), xyz_raw, xyz, feat,
-        center_mode=center_mode, using_intens=using_intens,
-    )
-    variables = jax.tree_util.tree_map(
-        lambda t: t + 0.1 * jnp.arange(t.size, dtype=t.dtype).reshape(t.shape)
-        / t.size, variables)
-    pr_r, pr_w, ref = mod.apply(
-        variables, xyz_raw, xyz, feat,
-        center_mode=center_mode, using_intens=using_intens,
-    )
-    fs_r, fs_w, out = dense_pointnet_fused(
-        xyz_raw, xyz, feat, variables["params"],
-        center_mode=center_mode, using_intens=using_intens,
-        use_trans=True, dtype=dtype, interpret=True, **kw,
-    )
-    np.testing.assert_array_equal(np.asarray(pr_r), np.asarray(fs_r))
-    np.testing.assert_array_equal(np.asarray(pr_w), np.asarray(fs_w))
-    # bf16: the kernel's dot/bias rounding points match the native path,
-    # but BN statistics accumulate in a different order over bf16-rounded
-    # values — a handful of post-BN elements land ~1 bf16 ulp apart
-    tol = 3e-2 if dtype == jnp.bfloat16 else 2e-5
-    np.testing.assert_allclose(
-        np.asarray(ref, np.float32), np.asarray(out, np.float32),
-        rtol=tol, atol=tol,
-    )
-
-
-def test_dense_pn_routing_through_module(monkeypatch):
-    """I2PNET_DENSE_PN=1 routes ProjectPointNet through the dense path
-    with the SAME param tree and matching outputs (env read at trace)."""
+def test_dense_eval_routing_through_module(monkeypatch):
+    """I2PNET_PROJ_DENSE_EVAL=1 routes ProjectPointNet eval through the
+    dense path (Pallas multiplicities + slot-stacked candidate builder,
+    the TPU eval default) with the SAME param tree and matching outputs;
+    train=True must stay on the gathered path regardless."""
     xyz_raw, xyz, feat = _grids(5)
     kw = dict(
         out_h=4, out_w=8, stride_h=2, stride_w=2, kernel_size=(3, 5),
         nsample=4, distance=1.5, mlp=(8, 16),
     )
     mod = ProjectPointNet(use_trans=True, use_bn=True, **kw)
-    monkeypatch.setenv("I2PNET_DENSE_PN", "0")
+    monkeypatch.setenv("I2PNET_PROJ_DENSE_EVAL", "0")
     variables = mod.init(
         jax.random.PRNGKey(1), xyz_raw, xyz, feat, center_mode=True)
     _, _, ref = mod.apply(variables, xyz_raw, xyz, feat, center_mode=True)
-    monkeypatch.setenv("I2PNET_DENSE_PN", "1")
+    _, _, ref_train = mod.apply(
+        variables, xyz_raw, xyz, feat, center_mode=True, train=True)
+    monkeypatch.setenv("I2PNET_PROJ_DENSE_EVAL", "1")
     _, _, out = mod.apply(variables, xyz_raw, xyz, feat, center_mode=True)
     np.testing.assert_allclose(
         np.asarray(ref), np.asarray(out), rtol=1e-5, atol=1e-5)
-    # mode 3 (fully fused, interpret off-TPU) through the module, eval only
-    monkeypatch.setenv("I2PNET_DENSE_PN", "3")
-    _, _, out3 = mod.apply(variables, xyz_raw, xyz, feat, center_mode=True)
-    np.testing.assert_allclose(
-        np.asarray(ref), np.asarray(out3), rtol=2e-5, atol=2e-5)
-
-    # dense path (modes 1/2) must stay differentiable in train mode
-    # (mode 2's pallas multiplicities are stop_gradient'ed)
-    for mode in ("1", "2"):
-        monkeypatch.setenv("I2PNET_DENSE_PN", mode)
-
-        def loss(p):
-            _, _, o = mod.apply(
-                {"params": p}, xyz_raw, xyz, feat, center_mode=True,
-                train=True)
-            return jnp.sum(o.astype(jnp.float32) ** 2)
-
-        g = jax.grad(loss)(variables["params"])
-        leaves = jax.tree_util.tree_leaves(g)
-        assert all(bool(jnp.all(jnp.isfinite(t))) for t in leaves)
-        assert any(float(jnp.max(jnp.abs(t))) > 0 for t in leaves)
+    # train mode keeps the gathered path bit-for-bit (dense is eval-only)
+    _, _, out_train = mod.apply(
+        variables, xyz_raw, xyz, feat, center_mode=True, train=True)
+    np.testing.assert_array_equal(
+        np.asarray(ref_train), np.asarray(out_train))

@@ -7,9 +7,18 @@ alternatives are only judged inside the full step
 (CLAUDE.md / BASELINE.md round-3: the im2col builder won standalone and
 lost in situ).
 
-Variants:
-  default   — take-based candidate builder (6-D transpose + two takes)
-  wc_stack  — I2PNET_WC_STACK=1 slot-stacked static-slice builder
+Variants (round-4 surface; the full decision table is BASELINE.md round-4):
+  default         — shipped routing: gathered per-tensor selects at train,
+                    dense multiplicity path (Pallas K-pass multiplicities +
+                    slot-stacked candidate builder, scoped to the dense
+                    builds) at eval on TPU
+  no_dense_eval   — I2PNET_PROJ_DENSE_EVAL=0: gathered path at eval too
+  wc_global       — I2PNET_WC_STACK=1: force the slot-stacked builder on
+                    EVERY stride-(1,1) window_candidates (the config that
+                    measured 188.7 fwd bf16; loses on gather-shaped
+                    consumers standalone)
+  no_wc           — I2PNET_WC_STACK=0: force the take builder even inside
+                    the dense eval path
 
 Usage: python tools/ab_select_variants.py [--iters 20] [--variants a,b]
 """
@@ -41,22 +50,9 @@ from i2pnet_tpu.train.step import make_train_step_proj
 BATCH = 8
 VARIANTS = {
     "default": {},
-    "wc_stack": {"I2PNET_WC_STACK": "1"},
-    "dense_pn": {"I2PNET_DENSE_PN": "1"},
-    "dense_pn+wc_stack": {"I2PNET_DENSE_PN": "1", "I2PNET_WC_STACK": "1"},
-    "dense_pn_pallas+wc_stack": {
-        "I2PNET_DENSE_PN": "2", "I2PNET_WC_STACK": "1"},
-    "fused_pn": {"I2PNET_DENSE_PN": "3"},
-    "unpacked": {"I2PNET_PACKED_SELECT": "0"},
-    "unpacked+wc_stack": {
-        "I2PNET_PACKED_SELECT": "0", "I2PNET_WC_STACK": "1"},
-    "unpacked+dense_pn": {"I2PNET_PACKED_SELECT": "0", "I2PNET_DENSE_PN": "1"},
-    "unpacked+dense_pn+wc_stack": {
-        "I2PNET_PACKED_SELECT": "0", "I2PNET_DENSE_PN": "1",
-        "I2PNET_WC_STACK": "1"},
-    "unpacked+dense_pn_pallas+wc_stack": {
-        "I2PNET_PACKED_SELECT": "0", "I2PNET_DENSE_PN": "2",
-        "I2PNET_WC_STACK": "1"},
+    "no_dense_eval": {"I2PNET_PROJ_DENSE_EVAL": "0"},
+    "wc_global": {"I2PNET_WC_STACK": "1"},
+    "no_wc": {"I2PNET_WC_STACK": "0"},
 }
 
 

@@ -85,6 +85,9 @@ def main():
     ap.add_argument("--img_h", type=int, default=160)
     ap.add_argument("--img_w", type=int, default=512)
     ap.add_argument("--report_every", type=int, default=50)
+    ap.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
+                    help="override conv/MLP compute dtype (default: bf16 for "
+                    "the full free-point config, f32 otherwise)")
     args = ap.parse_args()
 
     from i2pnet_tpu.utils.platform import honor_jax_platforms_env
@@ -108,6 +111,8 @@ def main():
         # synthetic clouds are dense everywhere; loosen the lv1 radius so
         # windows find neighbors (KITTI's 0.75 m assumes real scan density)
         cfg = dataclasses.replace(cfg, down_conv_dis=(3.0,) + cfg.down_conv_dis[1:])
+        if args.dtype is not None:
+            cfg = dataclasses.replace(cfg, compute_dtype=args.dtype)
         model = I2PNetProj(cfg)
         # config object for the point budget used by make_batch
         cfg_pts = dataclasses.replace(
@@ -117,6 +122,8 @@ def main():
         cfg = I2PNetConfig.tiny() if args.tiny else I2PNetConfig()
         if not args.tiny:
             cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+        if args.dtype is not None:
+            cfg = dataclasses.replace(cfg, compute_dtype=args.dtype)
         model = I2PNet(cfg)
         cfg_pts = cfg
 
