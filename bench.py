@@ -157,7 +157,11 @@ def bench_proj():
     from i2pnet_tpu.models import I2PNetProj
     from i2pnet_tpu.ops import quaternion as Q
 
-    cfg = I2PNetProjConfig()
+    # production inference config: bf16 conv/MLP compute, distance/Lie math
+    # pinned f32 — the free-point recipe applied to the proj family in
+    # round 4 (fwd 158.3 -> 214.0, train 79.4 -> 93.2 pairs/s; BASELINE.md
+    # round-4b/4c, convergence re-checked with --proj --dtype bfloat16)
+    cfg = dataclasses.replace(I2PNetProjConfig(), compute_dtype="bfloat16")
     model = I2PNetProj(cfg)
     rng = np.random.default_rng(0)
     N = 150000

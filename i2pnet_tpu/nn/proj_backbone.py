@@ -36,11 +36,12 @@ def proj_dense_eval_enabled(train: bool) -> bool:
     """Trace-time gate for the dense-eval ProjectPointNet path.
 
     Default ("auto"): engaged at eval on TPU only — the measured winner
-    (proj fwd 158.3 -> 188.7 pairs/s bf16, BASELINE.md round-4: dense
-    multiplicity path + Pallas selection kernel + slot-stacked candidate
-    builder). Training keeps the gathered path (dense measured -9% on the
-    train step). I2PNET_PROJ_DENSE_EVAL=0 disables; =1 forces it on any
-    backend (interpret-mode Pallas off-TPU — CPU tests only, slow).
+    (proj fwd 158.3 -> 214.0 pairs/s bf16, BASELINE.md round-4b/4c: dense
+    multiplicity path + Pallas K-pass selection kernel, take-based
+    candidate builder). Training keeps the gathered path (dense measured
+    slower on the train step). I2PNET_PROJ_DENSE_EVAL=0 disables; =1
+    forces it on any backend (interpret-mode Pallas off-TPU — CPU tests
+    only, slow).
     """
     if train:
         return False

@@ -36,7 +36,6 @@ import jax.numpy as jnp
 from i2pnet_tpu.nn.layers import BN_EPS
 from i2pnet_tpu.ops.pointops import safe_norm
 from i2pnet_tpu.ops.projection import (
-    stack_builder_scope,
     strided_downsample,
     window_candidates,
     window_neighbor_select_grid,
@@ -118,17 +117,17 @@ def dense_pointnet_eval(
         )
         m = selection_multiplicity(args, khw)  # (B, N, khw+1)
 
-    # dense candidate stacks (+ sentinel slot khw) — slot-stacked builder:
-    # the dense MLP materializes ALL khw slots, which is exactly where the
-    # static-slice stack beats the take-based builder (BASELINE.md round-4;
-    # the take builder only wins when a K-gather consumes the stack)
+    # dense candidate stacks (+ sentinel slot khw), take-based builder —
+    # a slot-stacked static-slice builder measured SLOWER here too
+    # (fwd 192.9 vs 214.0 pairs/s, BASELINE.md round-4c): XLA fuses the
+    # shifted takes into the MLP's first matmul, while the stacked form
+    # materializes the (B,N,khw,C) stack in HBM
     src = xyz_raw if raw_feat_point else xyz
     ctr = new_xyz_raw if raw_feat_point else new_xyz
-    with stack_builder_scope(True):
-        cand_feat, _ = window_candidates(
-            feature, out_h, out_w, qstride, (1, 1), kernel_size, True)
-        cand_xyz, _ = window_candidates(
-            src, out_h, out_w, qstride, (1, 1), kernel_size, True)
+    cand_feat, _ = window_candidates(
+        feature, out_h, out_w, qstride, (1, 1), kernel_size, True)
+    cand_xyz, _ = window_candidates(
+        src, out_h, out_w, qstride, (1, 1), kernel_size, True)
     cand_feat = jnp.concatenate(
         [cand_feat, _sentinel_slot(feature, N)], axis=2)
     cand_xyz = jnp.concatenate([cand_xyz, _sentinel_slot(src, N)], axis=2)

@@ -20,7 +20,6 @@ Covers the reference's projectPN primitives:
 
 from __future__ import annotations
 
-import contextlib
 import os
 from typing import List, Optional, Sequence, Tuple
 
@@ -29,30 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 _INVALID_DIST = 1e10
-
-# Trace-time routing for the stride-(1,1) window-candidate builder.
-# False (default): take-based builder — the MEASURED winner when the
-# consumer GATHERS K of the khw candidates (XLA fuses each shifted take
-# into the gather; slot-stacking lost fwd 147.1 vs 158.3 pairs/s,
-# BASELINE.md round-4). True: the slot-stacked static-slice builder —
-# the winner when the consumer MATERIALIZES all khw slots (the dense
-# eval path; +13% proj fwd in the same table). The proj model enables it
-# for its dense-eval traces via stack_builder_scope; I2PNET_WC_STACK=0/1
-# force-overrides either way for A/B.
-_STACK_BUILDER = False
-
-
-@contextlib.contextmanager
-def stack_builder_scope(enable: bool = True):
-    """Route stride-(1,1) window_candidates through the slot-stacked
-    builder within this (trace-time) scope."""
-    global _STACK_BUILDER
-    prev = _STACK_BUILDER
-    _STACK_BUILDER = bool(enable)
-    try:
-        yield
-    finally:
-        _STACK_BUILDER = prev
 
 
 def _patches_eligible(out_h, out_w, qstride, stride, kernel_size, h2, w2,
@@ -364,37 +339,6 @@ def _window_bounds(out_h, out_w, qstride, stride, kernel_size, h2, w2, shift):
     )
 
 
-def _window_candidates_stack(src, out_h, out_w, qstride, kernel_size, shift):
-    """Slot-stacked candidate builder for stride == (1, 1): pad the grid
-    (rows edge-clamped == the clip semantics, cols wrapped/clamped) and
-    take one STATIC strided slice per (dh, dw) slot, stacked directly in
-    the (B, N, khw, C) target order — no 6-D transpose, no take gathers.
-    Routed via stack_builder_scope (the dense eval path, where it wins);
-    loses under gather-shaped consumers — see _STACK_BUILDER above."""
-    B, h2, w2, C = src.shape
-    kh, kw = kernel_size
-    qh, qw = qstride
-    padded = jnp.pad(src, ((0, 0), (kh // 2, kh // 2), (0, 0), (0, 0)),
-                     mode="edge")
-    padded = jnp.pad(padded, ((0, 0), (0, 0), (kw // 2, kw // 2), (0, 0)),
-                     mode="wrap" if shift else "edge")
-    slots = []
-    for dh in range(kh):
-        for dw in range(kw):
-            slots.append(
-                jax.lax.slice(
-                    padded,
-                    (0, dh, dw, 0),
-                    (B, dh + (out_h - 1) * qh + 1, dw + (out_w - 1) * qw + 1, C),
-                    (1, qh, qw, 1),
-                )
-            )
-    cand = jnp.stack(slots, axis=3).reshape(B, out_h * out_w, kh * kw, C)
-    in_bounds = _window_bounds(
-        out_h, out_w, qstride, (1, 1), kernel_size, h2, w2, shift)
-    return cand, in_bounds
-
-
 def window_candidates(
     src: jnp.ndarray,
     out_h: int,
@@ -414,14 +358,16 @@ def window_candidates(
     (measured 47 ms -> ~2 ms for the 3600q x 135-tap level-1 select).
 
     Returns (cand (B, out_h*out_w, khw, C), in_bounds (out_h*out_w, khw)).
+
+    A slot-stacked static-slice builder (pad + one lax.slice per window
+    offset) was deleted as a measured negative: it loses BOTH under
+    gather-shaped consumers (fwd 152.9 vs 166.8 pairs/s bf16) and under
+    the dense eval MLP (192.9 vs 214.0) — XLA fuses the shifted takes
+    into either consumer, the stacked form materializes the candidate
+    stack in HBM (BASELINE.md round-4b/4c).
     """
     B, h2, w2, C = src.shape
     kh, kw = kernel_size
-    env = os.environ.get("I2PNET_WC_STACK")
-    use_stack = _STACK_BUILDER if env is None else env == "1"
-    if stride == (1, 1) and use_stack:
-        return _window_candidates_stack(
-            src, out_h, out_w, qstride, kernel_size, shift)
     ch = (jnp.arange(out_h, dtype=jnp.int32) * qstride[0]) // stride[0]
     cw = (jnp.arange(out_w, dtype=jnp.int32) * qstride[1]) // stride[1]
     dh = jnp.arange(kh, dtype=jnp.int32) - kh // 2

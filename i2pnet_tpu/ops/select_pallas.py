@@ -12,7 +12,7 @@ resulting multiset of selected slots — and therefore m — is identical.
 
 Layout: the host wrapper pre-strides the query-subsampled candidate
 columns into kw "dw-planes" (one static strided slice per horizontal
-window offset — the I2PNET_WC_STACK builder's trick), transposed
+window offset), transposed
 channel-major so the kernel reads rows of (C, lanes=queries) with no
 relayout:
 

@@ -115,8 +115,8 @@ def test_selection_multiplicity_pallas_exact(out_hw, qstride, kernel, K,
 
 def test_dense_eval_routing_through_module(monkeypatch):
     """I2PNET_PROJ_DENSE_EVAL=1 routes ProjectPointNet eval through the
-    dense path (Pallas multiplicities + slot-stacked candidate builder,
-    the TPU eval default) with the SAME param tree and matching outputs;
+    dense path (Pallas K-pass multiplicities, the TPU eval default)
+    with the SAME param tree and matching outputs;
     train=True must stay on the gathered path regardless."""
     xyz_raw, xyz, feat = _grids(5)
     kw = dict(

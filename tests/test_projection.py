@@ -205,16 +205,12 @@ def test_grid_helpers():
     np.testing.assert_array_equal(v[..., 0], [[0.0, 1.0]])
 
 
-@pytest.mark.parametrize("patches,wc_stack", [
-    ("0", "0"), ("1", "0"), ("0", "1"),
-])
-def test_grid_window_select_matches_generic(patches, wc_stack, monkeypatch):
+@pytest.mark.parametrize("patches", ["0", "1"])
+def test_grid_window_select_matches_generic(patches, monkeypatch):
     """The slice-structured fast path must match the generic gather path
     (same masks; same selected features wherever mask=1) — with and without
-    the opt-in im2col candidate builder (I2PNET_GRID_PATCHES) and the
-    opt-in slot-stacked builder (I2PNET_WC_STACK)."""
+    the opt-in im2col candidate builder (I2PNET_GRID_PATCHES)."""
     monkeypatch.setenv("I2PNET_GRID_PATCHES", patches)
-    monkeypatch.setenv("I2PNET_WC_STACK", wc_stack)
     rng = np.random.default_rng(9)
     B, H, W = 2, 8, 16
     xyz = rng.normal(size=(B, H, W, 3)).astype(np.float32)
@@ -256,29 +252,6 @@ def test_grid_window_select_matches_generic(patches, wc_stack, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(feats_g), np.asarray(feats_f), atol=1e-6
         )
-
-
-def test_window_candidates_stack_builder_exact(monkeypatch):
-    """_window_candidates_stack must be BIT-equal to the take-based builder
-    (same slot order, edge clamp, cylindrical wrap / clamp) on stride (1,1)
-    shapes, including even kernels and qstride > 1."""
-    rng = np.random.default_rng(3)
-    B, H, W = 2, 6, 12
-    src = jnp.asarray(rng.normal(size=(B, H, W, 4)).astype(np.float32))
-    for out_h, out_w, qstride, kernel, shift in [
-        (3, 6, (2, 2), (3, 5), True),
-        (6, 12, (1, 1), (5, 3), True),
-        (3, 4, (2, 3), (3, 3), False),
-        (2, 3, (3, 4), (5, 5), True),
-    ]:
-        monkeypatch.setenv("I2PNET_WC_STACK", "0")
-        c0, b0 = PR.window_candidates(
-            src, out_h, out_w, qstride, (1, 1), kernel, shift)
-        monkeypatch.setenv("I2PNET_WC_STACK", "1")
-        c1, b1 = PR.window_candidates(
-            src, out_h, out_w, qstride, (1, 1), kernel, shift)
-        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
-        np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
 
 
 def test_pixel_posinfo():

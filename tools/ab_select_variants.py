@@ -7,18 +7,12 @@ alternatives are only judged inside the full step
 (CLAUDE.md / BASELINE.md round-3: the im2col builder won standalone and
 lost in situ).
 
-Variants (round-4 surface; the full decision table is BASELINE.md round-4):
+Variants (round-4 surface; the full decision table is BASELINE.md
+round-4b/4c):
   default         — shipped routing: gathered per-tensor selects at train,
-                    dense multiplicity path (Pallas K-pass multiplicities +
-                    slot-stacked candidate builder, scoped to the dense
-                    builds) at eval on TPU
+                    dense multiplicity path (Pallas K-pass multiplicities,
+                    take-based candidate builder) at eval on TPU
   no_dense_eval   — I2PNET_PROJ_DENSE_EVAL=0: gathered path at eval too
-  wc_global       — I2PNET_WC_STACK=1: force the slot-stacked builder on
-                    EVERY stride-(1,1) window_candidates (the config that
-                    measured 188.7 fwd bf16; loses on gather-shaped
-                    consumers standalone)
-  no_wc           — I2PNET_WC_STACK=0: force the take builder even inside
-                    the dense eval path
 
 Usage: python tools/ab_select_variants.py [--iters 20] [--variants a,b]
 """
@@ -51,8 +45,6 @@ BATCH = 8
 VARIANTS = {
     "default": {},
     "no_dense_eval": {"I2PNET_PROJ_DENSE_EVAL": "0"},
-    "wc_global": {"I2PNET_WC_STACK": "1"},
-    "no_wc": {"I2PNET_WC_STACK": "0"},
 }
 
 
@@ -96,7 +88,6 @@ def main():
     model = I2PNetProj(cfg)
     rgb, lidar, raw, intr = make_inputs(cfg)
 
-    os.environ.pop("I2PNET_WC_STACK", None)
     variables = model.init(jax.random.key(0), rgb, lidar, raw, intr, train=False)
     batch = {
         "rgb": rgb, "lidar": lidar, "raw_xyz": raw, "intrinsic": intr,
