@@ -40,6 +40,10 @@ def parse_args(argv=None):
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--analyze", action="store_true")
+    p.add_argument("--vis_rate", type=int, default=0,
+                   help="log init/pred/gt projection overlays for sample 0 "
+                        "of every Nth batch to the writer (TB + wandb when "
+                        "attached, ref evaluation.py:630-657); 0 disables")
     p.add_argument("--efgh", action="store_true",
                    help="online-calibration EFGH variant (kitti dataset, "
                         "free-point network): thread data['calib'] through "
@@ -176,11 +180,19 @@ def main(argv=None):
         batch_stats_list.append(bstats)
 
     loader = BatchLoader(test_ds, args.batch_size, shuffle=False, drop_last=False)
+    writer = None
+    if args.vis_rate > 0:
+        from i2pnet_tpu.utils.monitor import UniWriter
+
+        writer = UniWriter(args.log_dir)
     evaluator = Evaluator(
         model, cfg, params_list, batch_stats_list,
         proj=proj, log_dir=args.log_dir, tag=args.tag,
+        writer=writer, vis_rate=args.vis_rate,
     )
     summary = evaluator.validate(loader)
+    if writer is not None:
+        writer.close()
     print("== evaluation summary ==")
     for k, v in summary.items():
         print(f"  {k}: {v}")

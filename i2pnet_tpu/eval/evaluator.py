@@ -36,6 +36,8 @@ class Evaluator:
         proj: bool = False,
         log_dir: str = "info_test",
         tag: str = "",
+        writer=None,
+        vis_rate: int = 0,
     ):
         self.model = model
         self.cfg = cfg
@@ -48,6 +50,12 @@ class Evaluator:
         self.proj = proj
         self.log_dir = log_dir
         self.tag = tag
+        # projection-image fan-out (ref evaluation.py:630-657 logs
+        # init/pred/gt overlays + an NHWC comparison batch to the writer);
+        # vis_rate=N logs sample 0 of every Nth batch, 0 disables
+        self.writer = writer
+        self.vis_rate = int(vis_rate)
+        self._vis_step = 0
         os.makedirs(log_dir, exist_ok=True)
 
         def forward(params, batch_stats, rgb, lidar, raw_xyz, intrinsic,
@@ -77,6 +85,38 @@ class Evaluator:
 
         self._rewarp = jax.jit(rewarp)
 
+    def _log_projection_images(self, rgb, lidar, intrinsic, out3_np,
+                               q_gt, t_gt) -> None:
+        """Writer fan-out of init/pred/gt projection overlays for sample 0
+        (ref evaluation.py:630-657: three add_image calls + one NHWC
+        add_images comparison batch, same tags)."""
+        from i2pnet_tpu.eval.visualize import render_projection
+
+        def decalib_E(q, t):
+            R = M.quat_to_rotmat_batch(np.asarray(q)[None])[0]
+            return np.concatenate(
+                [R, np.asarray(t).reshape(3, 1)], axis=1).astype(np.float32)
+
+        rgb_u8 = np.clip(rgb[0], 0, 255).astype(np.uint8)
+        pts = lidar[0]
+        intr = intrinsic[0]
+        # the model input cloud already sits in the decalibrated frame, so
+        # "init" projects through identity and pred/gt through the
+        # corrections (same frame convention as tools/render_demo.py)
+        panels = {
+            "init_projected_img": render_projection(
+                rgb_u8, pts, np.eye(3, 4, dtype=np.float32), intr),
+            "pj_projected_img": render_projection(
+                rgb_u8, pts, decalib_E(out3_np[0, :4], out3_np[0, 4:]), intr),
+            "gt_projected_img": render_projection(
+                rgb_u8, pts, decalib_E(q_gt[0], t_gt[0]), intr),
+        }
+        for tag, img in panels.items():
+            self.writer.add_image(tag, img, self._vis_step)
+        self.writer.add_images(
+            "comparison_img", np.stack(list(panels.values())), self._vis_step)
+        self._vis_step += 1
+
     def validate(self, loader: BatchLoader, save_metrics: bool = True) -> Dict:
         ev = M.RteRreEval()
         axis_errs: List = []
@@ -84,7 +124,7 @@ class Evaluator:
         pred_lines: List[str] = []
         msee_all: List[np.ndarray] = []
 
-        for batch in loader:
+        for bi, batch in enumerate(loader):
             mb = to_model_batch(
                 {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
             )
@@ -126,6 +166,12 @@ class Evaluator:
             axis_errs.append(M.calibration_error_batch(pred_E, gt_E))
             gt_se3 = M.extrinsic_to_se3(gt_raw)
             msee_all.append(M.eval_msee(out3_np, gt_se3, pred_E=pred_raw))
+
+            if self.writer is not None and self.vis_rate and bi % self.vis_rate == 0:
+                self._log_projection_images(
+                    np.asarray(mb["rgb"]), np.asarray(mb["lidar"]),
+                    np.asarray(mb["intrinsic"]), out3_np, q_gt, t_gt,
+                )
 
             for b in range(out3_np.shape[0]):
                 path_info = (

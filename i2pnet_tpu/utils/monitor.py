@@ -65,6 +65,19 @@ class UniWriter:
 
             self._wandb.log({tag: wandb.Image(np.asarray(img))}, step=step)
 
+    def add_images(self, tag: str, imgs: np.ndarray, step: int) -> None:
+        # NHWC batch; wandb side gets the reference's H x (W*B) horizontal
+        # concat (ref monitor/base.py:48-56)
+        imgs = np.asarray(imgs)
+        if self._tb is not None:
+            self._tb.add_images(tag, imgs, step, dataformats="NHWC")
+        if self._wandb is not None:
+            import wandb
+
+            b, h, w, c = imgs.shape
+            concat = imgs.transpose(1, 2, 0, 3).reshape(h, w * b, c)
+            self._wandb.log({tag: wandb.Image(concat)}, step=step)
+
     def text_log(self, filename: str, line: str) -> None:
         with open(os.path.join(self.log_dir, filename), "a") as f:
             f.write(line.rstrip("\n") + "\n")

@@ -276,6 +276,55 @@ def test_evaluator_end_to_end(synth_root, tmp_path):
     assert ra["count"] == 4
 
 
+def test_evaluator_vis_fanout(synth_root, tmp_path):
+    """vis_rate logs init/pred/gt overlays + an NHWC comparison batch per
+    sampled batch, with the reference's tags (ref evaluation.py:630-657)."""
+    import jax
+    import jax.numpy as jnp
+
+    from i2pnet_tpu.config import I2PNetConfig
+    from i2pnet_tpu.data.pipeline import BatchLoader
+    from i2pnet_tpu.eval import Evaluator
+    from i2pnet_tpu.models import I2PNet
+
+    cfg = I2PNetConfig.tiny()
+    model = I2PNet(cfg)
+    _, valid_ds = _make_datasets(synth_root, cfg)
+    s = valid_ds[0]
+    variables = model.init(
+        jax.random.key(0),
+        jnp.asarray(s["rgb"])[None],
+        jnp.asarray(s["lidar"])[None],
+        jnp.asarray(s["init_intrinsic"])[None],
+        train=False,
+    )
+
+    class _Writer:
+        images = []
+        batches = []
+
+        def add_image(self, tag, img, step):
+            self.images.append((tag, np.asarray(img).shape, step))
+
+        def add_images(self, tag, imgs, step):
+            self.batches.append((tag, np.asarray(imgs).shape, step))
+
+    w = _Writer()
+    evaluator = Evaluator(
+        model, cfg, [variables["params"]],
+        [variables.get("batch_stats", {})],
+        log_dir=str(tmp_path / "eval"), writer=w, vis_rate=2,
+    )
+    loader = BatchLoader(valid_ds, 2, shuffle=False, drop_last=False)
+    evaluator.validate(loader)  # 4 samples / batch 2 -> batches 0,1; rate 2 -> batch 0 only
+    tags = [t for t, _, _ in w.images]
+    assert tags == [
+        "init_projected_img", "pj_projected_img", "gt_projected_img"]
+    h, ww = np.asarray(s["rgb"]).shape[:2]
+    assert all(shape == (h, ww, 3) for _, shape, _ in w.images)
+    assert w.batches == [("comparison_img", (3, h, ww, 3), 0)]
+
+
 def test_evaluator_cascade(synth_root, tmp_path):
     """Two-stage cascade composes predictions (ref evaluation_cmr.py:330-377)."""
     import jax
