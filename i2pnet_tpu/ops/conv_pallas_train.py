@@ -36,6 +36,7 @@ LeakyReLU(0.1) -> bf16 -> max-pool 3x3.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -739,7 +740,37 @@ def _make_bn_pool(H, W, cout, stride, ht_out, htc, interpret, bwd):
             dsh_l.reshape(W, cout).sum(0),
         )
 
-    f.defvjp(f_fwd, f_bwd_native if bwd == "native" else f_bwd_pallas)
+    def f_bwd_sas(res, g):
+        # XLA autodiff of the UNMERGED reduce_window formulation: the pool
+        # VJP lowers to native select-and-scatter — round-2's measured-
+        # fastest pool backward (41.4 ms vs 68-427 ms for every
+        # alternative, BASELINE.md) — and routes tie gradients first-max,
+        # matching the Pallas backward (the merged max-tree splits ties
+        # evenly instead). The merged (B, H, W*cout) buffer is channel-
+        # fastest, so the reshape to (B, H, W, cout) is layout-free.
+        y, scale_c, shift_c = res
+        B = y.shape[0]
+
+        def pool_unmerged(yy, sc_c, sh_c):
+            z = yy.reshape(B, H, W, cout).astype(jnp.float32) * sc_c + sh_c
+            a = jnp.where(z >= 0, z, 0.1 * z)
+            # straight-through bf16 rounding: primal max sets match the
+            # Pallas forward's cast, cotangent stays f32
+            a = a + jax.lax.stop_gradient(
+                a.astype(jnp.bfloat16).astype(jnp.float32) - a)
+            out = jax.lax.reduce_window(
+                a, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
+                (1, stride, stride, 1),
+                ((0, 0), (1, 1), (1, 1), (0, 0)))
+            return out.reshape(
+                B, H // stride, (W // stride) * cout).astype(jnp.bfloat16)
+
+        _, vjp = jax.vjp(pool_unmerged, y, scale_c, shift_c)
+        dy, dsc, dsh = vjp(g.astype(jnp.bfloat16))
+        return dy.astype(y.dtype), dsc, dsh
+
+    bwd_fn = {"native": f_bwd_native, "sas": f_bwd_sas}.get(bwd, f_bwd_pallas)
+    f.defvjp(f_fwd, bwd_fn)
     return f
 
 
@@ -762,8 +793,11 @@ def bn_pool(
 
     bwd: "pallas" — first-max tie routing matching select_and_scatter;
     "native" — XLA autodiff of the merged-layout max-tree formulation
-    (even tie split; no scoped-VMEM limit); "auto" — pallas where its
-    routing kernel fits scoped VMEM, native for the widest blocks.
+    (even tie split; no scoped-VMEM limit); "sas" — XLA autodiff of the
+    unmerged reduce_window formulation (native select-and-scatter VJP,
+    first-max ties); "auto" — pallas where its routing kernel fits scoped
+    VMEM, else the wide-block backward (I2PNET_POOL_WIDE_BWD, default
+    sas — the stage-1 stride-2 A/B in BASELINE.md round-4e).
     """
     if bwd == "auto":
         # judge the VMEM fit with the tile the backward will ACTUALLY use
@@ -773,7 +807,7 @@ def bn_pool(
         bwd = (
             "pallas"
             if tile is not None and _pallas_bwd_fits(W * cout, tile)
-            else "native")
+            else os.environ.get("I2PNET_POOL_WIDE_BWD", "sas"))
     f = _make_bn_pool(H, W, cout, stride, ht_out, htc, interpret, bwd)
     return f(y, scale_c.astype(jnp.float32), shift_c.astype(jnp.float32))
 

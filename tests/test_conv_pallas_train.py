@@ -233,6 +233,11 @@ BN_CASES = [
     (1, 16, 64, 32, 2, False, "native"),
     # production stage-2 tail: cout=128, stride 2 (pallas bwd at this L)
     (1, 8, 16, 128, 2, False, "pallas"),
+    # sas (unmerged reduce_window VJP -> select-and-scatter) — the wide-
+    # block backward; first-max ties match the reference
+    (2, 16, 32, 8, 1, True, "sas"),
+    (2, 16, 32, 8, 2, True, "sas"),
+    (1, 16, 64, 32, 2, False, "sas"),
 ]
 
 

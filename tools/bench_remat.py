@@ -108,7 +108,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default="r2,remat,bn,remat_bn",
                     help="comma list: r2,remat,bn,remat_bn,bn_allties,"
-                         "fused,pool_spmd")
+                         "fused,pool_spmd,wide_native,wide_sas")
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
     print(f"backend: {jax.default_backend()} devices: {jax.devices()}", flush=True)
@@ -139,6 +139,15 @@ def main():
         # the reroute could be default-on (BASELINE.md round-3c)
         bench_variant("pool_spmd_s1", iters=it,
                       env={"I2PNET_POOL_SPMD_S1": "1"})
+    # wide-block (VMEM-overflow) bn_pool backward inside the FUSED train
+    # step: native merged max-tree autodiff vs unmerged reduce_window VJP
+    # (select-and-scatter) — only stage-1's two stride-2 blocks differ
+    if "wide_native" in v:
+        bench_variant("fused+wide_native", iters=it,
+                      env={"I2PNET_POOL_WIDE_BWD": "native"})
+    if "wide_sas" in v:
+        bench_variant("fused+wide_sas", iters=it,
+                      env={"I2PNET_POOL_WIDE_BWD": "sas"})
 
 
 if __name__ == "__main__":
