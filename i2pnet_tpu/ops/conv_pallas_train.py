@@ -653,7 +653,295 @@ def _bn_pool_native_merged(y, sc_lane, sh_lane, *, H, W, cout, stride):
     return out.astype(jnp.bfloat16)
 
 
-def _pick_bwd_tile(H, L, stride, htc):
+def _bn_pool_fwd_idx_kernel(
+    sc_ref, sh_ref, sel_ref, prev_ref, main_ref, next_ref, out_ref, idx_ref,
+    *, H: int, W: int, cout: int, stride: int, ht_out: int,
+):
+    """The training-forward twin of ``_bn_pool_kernel``: emits the pooled
+    output (bit-identical max tree) PLUS the winning tap index per out
+    cell — first max in row-major (kh, kw) scan order, i.e. exactly the
+    routing XLA select_and_scatter and ``_bn_pool_bwd_kernel`` use. The
+    saved plane turns the backward into a pure 9-tap routed accumulation
+    with no activation recompute (round-4f)."""
+    L = W * cout
+    ht_in = ht_out * stride
+    i = pl.program_id(1)
+    row0 = i * ht_in
+    rows = ht_in + 2
+
+    y = jnp.concatenate(
+        [prev_ref[0, ht_in - 1:ht_in, :], main_ref[0], next_ref[0, 0:1, :]],
+        axis=0)
+    z = y.astype(jnp.float32) * sc_ref[0] + sh_ref[0]
+    a = jnp.where(z >= 0, z, 0.1 * z).astype(jnp.bfloat16).astype(jnp.float32)
+    gr = row0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    a = jnp.where((gr >= 0) & (gr < H), a, jnp.full_like(a, _NEG))
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    wl = jnp.where(lane >= cout, pltpu.roll(a, cout, axis=1),
+                   jnp.full_like(a, _NEG))
+    wr = jnp.where(lane < L - cout, pltpu.roll(a, L - cout, axis=1),
+                   jnp.full_like(a, _NEG))
+    t_by_kw = (wl, a, wr)
+
+    # pooled out: the exact max tree of _bn_pool_kernel (bit-identical)
+    wmax = jnp.maximum(a, jnp.maximum(wl, wr))
+    if stride == 1:
+        out = jnp.maximum(
+            wmax[0:ht_out],
+            jnp.maximum(wmax[1:ht_out + 1], wmax[2:ht_out + 2]))
+    else:
+        half = rows // 2
+        paired = wmax.reshape(half, 2, L)
+        ev, od = paired[:, 0, :], paired[:, 1, :]
+        out = jnp.maximum(
+            ev[0:ht_out], jnp.maximum(od[0:ht_out], ev[1:ht_out + 1]))
+        out = out.astype(jnp.bfloat16)
+        m = out.reshape(ht_out * (L // 256), 256)
+        out = jax.lax.dot_general(
+            m, sel_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(ht_out, L // 2)
+    out_ref[0] = out.astype(jnp.bfloat16)
+
+    # winning tap index, first-max in row-major (kh, kw) order: strict >
+    # updates keep the FIRST tap attaining the running (= global) max
+    def tap(kh, kw):
+        t = t_by_kw[kw]
+        if stride == 1:
+            return t[kh:kh + ht_out]
+        p = t.reshape(rows // 2, 2, L)
+        if kh == 0:
+            return p[0:ht_out, 0, :]
+        if kh == 1:
+            return p[0:ht_out, 1, :]
+        return p[1:ht_out + 1, 0, :]
+
+    best = tap(0, 0)
+    idx = jnp.zeros((ht_out, L), jnp.float32)
+    k = 0
+    for kh in range(3):
+        for kw in range(3):
+            if k == 0:
+                k += 1
+                continue
+            t = tap(kh, kw)
+            upd = t > best
+            idx = jnp.where(upd, jnp.float32(k), idx)
+            best = jnp.maximum(best, t)
+            k += 1
+    if stride == 2:
+        mi = idx.astype(jnp.bfloat16).reshape(ht_out * (L // 256), 256)
+        idx = jax.lax.dot_general(
+            mi, sel_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(ht_out, L // 2)
+    idx_ref[0] = idx.astype(jnp.bfloat16)
+
+
+def _pick_idx_fwd_ht(Ho, L, stride, ht):
+    """Tile height for the idx forward: the scan adds two (ht_out, L)
+    f32 temps (best, idx) on top of the plain forward's four
+    (rows, L)-scale buffers, so cap the tile to keep ~(4*stride+2)*ht
+    f32 rows of L under the scoped-VMEM budget."""
+    cap = max(1, 11_000_000 // ((4 * stride + 3) * L * 4))
+    return _pick_ht(Ho, min(ht, cap))
+
+
+def _bn_pool_fwd_idx_p(y, sc_lane, sh_lane, *, H, W, cout, stride, ht_out,
+                       interpret):
+    B = y.shape[0]
+    Ho = H // stride
+    L = W * cout
+    Lo = (W // stride) * cout
+    ht_out = _pick_idx_fwd_ht(Ho, L, stride, ht_out)
+    ht_in = ht_out * stride
+    ni = H // ht_in
+    in_block = (1, ht_in, L)
+    sel = jnp.asarray(_even_selector(cout), jnp.bfloat16)
+
+    def im_main(b, i):
+        return (b, i, 0)
+
+    def im_prev(b, i):
+        return (b, jnp.maximum(i - 1, 0), 0)
+
+    def im_next(b, i):
+        return (b, jnp.minimum(i + 1, ni - 1), 0)
+
+    kern = functools.partial(
+        _bn_pool_fwd_idx_kernel, H=H, W=W, cout=cout, stride=stride,
+        ht_out=ht_out)
+    return pl.pallas_call(
+        kern,
+        grid=(B, ni),
+        in_specs=[
+            pl.BlockSpec(sc_lane.shape, lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sh_lane.shape, lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sel.shape, lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(in_block, im_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(in_block, im_main, memory_space=pltpu.VMEM),
+            pl.BlockSpec(in_block, im_next, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ht_out, Lo), im_main, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ht_out, Lo), im_main, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Ho, Lo), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, Ho, Lo), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(sc_lane, sh_lane, sel, y, y, y)
+
+
+def _bn_pool_bwd_idx_kernel(
+    sc_ref, sh_ref, selT_ref, ym_ref,
+    ip_ref, im_ref, in_ref, gp_ref, gm_ref, gn_ref, dz_ref,
+    *, H: int, W: int, cout: int, stride: int, htc: int,
+):
+    """dz from the forward-saved tap-index plane: route each out grad to
+    its recorded winner — no activation/out_val recompute, so the VMEM
+    stack is a fraction of ``_bn_pool_bwd_kernel``'s and fits the wide
+    stage-1 blocks that previously fell back to select-and-scatter."""
+    L = W * cout
+    Lo = (W // stride) * cout
+    ho = htc // stride
+    i = pl.program_id(1)
+    row0 = i * htc
+    o0 = row0 // stride
+    Ho = H // stride
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+
+    # out grads + winner indices on out rows [o0-1, o0+ho+1)
+    go = jnp.concatenate(
+        [gp_ref[0, ho - 1:ho, :], gm_ref[0], gn_ref[0, 0:1, :]], axis=0)
+    go = go.astype(jnp.float32)
+    gor = o0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (ho + 2, 1), 0)
+    go = jnp.where((gor >= 0) & (gor < Ho), go, jnp.zeros_like(go))
+    # f32 for the per-tap equality tests: Mosaic has no bf16 cmpf on v5e
+    oidx = jnp.concatenate(
+        [ip_ref[0, ho - 1:ho, :], im_ref[0], in_ref[0, 0:1, :]],
+        axis=0).astype(jnp.float32)
+    no = ho + 2
+
+    taps = [(kh, kw) for kh in range(3) for kw in range(3)]
+    if stride == 1:
+        dz_acc = jnp.zeros((htc, L), jnp.float32)
+    else:
+        dz_ev = jnp.zeros((htc // 2, L), jnp.float32)
+        dz_od = jnp.zeros((htc // 2, L), jnp.float32)
+    for k, (kh, kw) in enumerate(taps):
+        contrib = go * (oidx == jnp.float32(k)).astype(jnp.float32)
+        if stride == 2:
+            m2 = contrib.reshape(no * (Lo // 128), 128)
+            c_exp = jax.lax.dot_general(
+                m2, selT_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(no, L)
+        else:
+            c_exp = contrib
+        off = kw - 1
+        if off > 0:
+            c_exp = jnp.where(lane >= off * cout,
+                              pltpu.roll(c_exp, off * cout, axis=1),
+                              jnp.zeros_like(c_exp))
+        elif off < 0:
+            c_exp = jnp.where(lane < L - cout,
+                              pltpu.roll(c_exp, L - cout, axis=1),
+                              jnp.zeros_like(c_exp))
+
+        def place(src, n_rows, lo, hi, at, L=L):
+            parts = []
+            if at > 0:
+                parts.append(jnp.zeros((at, L), jnp.float32))
+            parts.append(src[lo:hi])
+            tail = n_rows - at - (hi - lo)
+            if tail > 0:
+                parts.append(jnp.zeros((tail, L), jnp.float32))
+            return parts[0] if len(parts) == 1 else jnp.concatenate(
+                parts, axis=0)
+
+        if stride == 1:
+            sh = kh - 2
+            lo = max(0, -sh)
+            hi = min(no, htc - sh)
+            dz_acc = dz_acc + place(c_exp, htc, lo, hi, lo + sh)
+        else:
+            sh = kh - 3
+            jlo = max(0, (-sh + 1) // 2)
+            jhi = min(no, (htc - sh + 1) // 2)
+            half = htc // 2
+            if sh % 2 == 0:
+                dz_ev = dz_ev + place(
+                    c_exp, half, jlo, jhi, (2 * jlo + sh) // 2)
+            else:
+                dz_od = dz_od + place(
+                    c_exp, half, jlo, jhi, (2 * jlo + sh - 1) // 2)
+
+    if stride == 2:
+        dz_acc = jnp.concatenate(
+            [dz_ev[:, None, :], dz_od[:, None, :]], axis=1).reshape(htc, L)
+
+    zmain = (ym_ref[0].astype(jnp.float32) * sc_ref[0] + sh_ref[0])
+    dz_ref[0] = dz_acc * jnp.where(zmain >= 0, 1.0, 0.1)
+
+
+def _bn_pool_bwd_idx_p(y, sc_lane, sh_lane, idx, g, *, H, W, cout, stride,
+                       htc, interpret):
+    B = y.shape[0]
+    L = W * cout
+    Lo = (W // stride) * cout
+    # the routing-only stack holds ~4-5 (htc, L) f32 temps at peak (vs
+    # ~10 (htc+8, L) for the recompute kernel), so the tile cap is looser
+    htc = _pick_bwd_tile(H, L, stride, htc, cap=max(4, 650_000 // L))
+    if htc is None:
+        raise ValueError(
+            f"no valid pool-backward tile for H={H}, L={L}, stride={stride}")
+    ho = htc // stride
+    ni = H // htc
+    selT = jnp.asarray(_even_selector(cout).T, jnp.float32)
+
+    def im_main(b, i):
+        return (b, i, 0)
+
+    def im_prev(b, i):
+        return (b, jnp.maximum(i - 1, 0), 0)
+
+    def im_next(b, i):
+        return (b, jnp.minimum(i + 1, ni - 1), 0)
+
+    kern = functools.partial(
+        _bn_pool_bwd_idx_kernel, H=H, W=W, cout=cout, stride=stride, htc=htc)
+    return pl.pallas_call(
+        kern,
+        grid=(B, ni),
+        in_specs=[
+            pl.BlockSpec(sc_lane.shape, lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sh_lane.shape, lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(selT.shape, lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, htc, L), im_main, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ho, Lo), im_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ho, Lo), im_main, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ho, Lo), im_next, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ho, Lo), im_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ho, Lo), im_main, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ho, Lo), im_next, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, htc, L), im_main,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, L), jnp.float32),
+        interpret=interpret,
+    )(sc_lane, sh_lane, selT, y, idx, idx, idx, g, g, g)
+
+
+def _pick_bwd_tile(H, L, stride, htc, cap=None):
     """The conv-row tile height _bn_pool_bwd_p will actually use.
 
     Mosaic block rule: rows divisible by 8 or equal to the full
@@ -665,7 +953,8 @@ def _pick_bwd_tile(H, L, stride, htc):
     used anyway. Returns None when no legal tile exists.
     """
     Ho_ = H // stride
-    cap = max(4, 250_000 // L)
+    if cap is None:
+        cap = max(4, 250_000 // L)
     valid = [
         c for c in range(4, H + 1)
         if H % c == 0 and c % stride == 0
@@ -676,16 +965,6 @@ def _pick_bwd_tile(H, L, stride, htc):
         return None
     within = [c for c in valid if c <= min(htc, cap)]
     return max(within) if within else min(valid)
-
-
-def _pallas_bwd_fits(L, tile):
-    """Whether the Pallas pool-backward's scoped-VMEM stack fits at the
-    tile _pick_bwd_tile selected.
-
-    Empirical: the stage-1 stride-2 block (L=20480, tile=16) measured
-    19.3M against the 16M limit; ~10 (tile+8, L) f32 temps live at peak.
-    """
-    return 10 * L * (tile + 8) * 4 <= 15_000_000
 
 
 @functools.lru_cache(maxsize=None)
@@ -769,6 +1048,34 @@ def _make_bn_pool(H, W, cout, stride, ht_out, htc, interpret, bwd):
         dy, dsc, dsh = vjp(g.astype(jnp.bfloat16))
         return dy.astype(y.dtype), dsc, dsh
 
+    def f_fwd_idx(y, scale_c, shift_c):
+        # forward twin that also records the winning tap per out cell
+        # (first-max, row-major — the select_and_scatter order); the out
+        # values come from the identical max tree, so the primal is
+        # bit-equal to fwd_only
+        sc = jnp.tile(scale_c, W)[None, :]
+        sh = jnp.tile(shift_c, W)[None, :]
+        out, idx = _bn_pool_fwd_idx_p(
+            y, sc, sh, H=H, W=W, cout=cout, stride=stride, ht_out=ht_out,
+            interpret=interpret)
+        return out, (y, scale_c, shift_c, idx)
+
+    def f_bwd_idx(res, g):
+        y, scale_c, shift_c, idx = res
+        sc = jnp.tile(scale_c, W)[None, :]
+        sh = jnp.tile(shift_c, W)[None, :]
+        dz = _bn_pool_bwd_idx_p(
+            y, sc, sh, idx, g, H=H, W=W, cout=cout, stride=stride, htc=htc,
+            interpret=interpret)
+        dy = (dz * sc).astype(y.dtype)
+        yf = y.astype(jnp.float32)
+        dsc = jnp.sum(dz * yf, axis=(0, 1)).reshape(W, cout).sum(0)
+        dsh = jnp.sum(dz, axis=(0, 1)).reshape(W, cout).sum(0)
+        return dy, dsc, dsh
+
+    if bwd == "idx":
+        f.defvjp(f_fwd_idx, f_bwd_idx)
+        return f
     bwd_fn = {"native": f_bwd_native, "sas": f_bwd_sas}.get(bwd, f_bwd_pallas)
     f.defvjp(f_fwd, bwd_fn)
     return f
@@ -791,23 +1098,22 @@ def bn_pool(
     """BN affine (per-channel scale/shift) -> LeakyReLU(0.1) -> bf16 ->
     3x3/stride max-pool on the merged layout, differentiable.
 
-    bwd: "pallas" — first-max tie routing matching select_and_scatter;
-    "native" — XLA autodiff of the merged-layout max-tree formulation
-    (even tie split; no scoped-VMEM limit); "sas" — XLA autodiff of the
-    unmerged reduce_window formulation (native select-and-scatter VJP,
-    first-max ties); "auto" — pallas where its routing kernel fits scoped
-    VMEM, else the wide-block backward (I2PNET_POOL_WIDE_BWD, default
-    sas — the stage-1 stride-2 A/B in BASELINE.md round-4e).
+    bwd: "idx" (the default via "auto") — the forward saves the winning
+    tap index per out cell (first-max, row-major — the select_and_scatter
+    scan order) and the backward is a pure 9-tap routed accumulation: no
+    activation recompute, so its VMEM stack fits EVERY block width.
+    Measured (BASELINE.md round-4f): full free-point train step 86.0 ->
+    67.7 ms — the recompute kernel's wide-block select-and-scatter
+    fallback was the single largest cost in the whole backward.
+    Verification backends, selectable via I2PNET_POOL_BWD: "pallas" —
+    first-max routing with in-kernel activation recompute (bit-identical
+    gradients to idx; scoped-VMEM-limited to narrow blocks); "native" —
+    XLA autodiff of the merged max-tree (even tie split); "sas" — XLA
+    autodiff of the unmerged reduce_window formulation (native
+    select-and-scatter VJP; the pre-idx wide-block default).
     """
     if bwd == "auto":
-        # judge the VMEM fit with the tile the backward will ACTUALLY use
-        # (the picker can be forced above the requested htc when no
-        # smaller legal tile exists)
-        tile = _pick_bwd_tile(H, W * cout, stride, htc)
-        bwd = (
-            "pallas"
-            if tile is not None and _pallas_bwd_fits(W * cout, tile)
-            else os.environ.get("I2PNET_POOL_WIDE_BWD", "sas"))
+        bwd = os.environ.get("I2PNET_POOL_BWD", "idx")
     f = _make_bn_pool(H, W, cout, stride, ht_out, htc, interpret, bwd)
     return f(y, scale_c.astype(jnp.float32), shift_c.astype(jnp.float32))
 

@@ -233,11 +233,21 @@ BN_CASES = [
     (1, 16, 64, 32, 2, False, "native"),
     # production stage-2 tail: cout=128, stride 2 (pallas bwd at this L)
     (1, 8, 16, 128, 2, False, "pallas"),
-    # sas (unmerged reduce_window VJP -> select-and-scatter) — the wide-
-    # block backward; first-max ties match the reference
+    # sas (unmerged reduce_window VJP -> select-and-scatter) — the
+    # pre-idx wide-block default, kept as a verification backend;
+    # first-max ties match the reference
     (2, 16, 32, 8, 1, True, "sas"),
     (2, 16, 32, 8, 2, True, "sas"),
     (1, 16, 64, 32, 2, False, "sas"),
+    # idx (forward-saved winner plane, routing-only backward) — same
+    # first-max semantics, so bit-exact like "pallas", incl. heavy ties
+    (2, 16, 32, 8, 1, False, "idx"),
+    (2, 16, 32, 8, 2, False, "idx"),
+    (2, 16, 32, 8, 1, True, "idx"),
+    (2, 16, 32, 8, 2, True, "idx"),
+    (1, 16, 32, 16, 2, False, "idx"),
+    (1, 16, 64, 32, 2, False, "idx"),
+    (1, 8, 16, 128, 2, False, "idx"),
 ]
 
 
@@ -266,9 +276,12 @@ def ref_stage(x4, blocks, strides, eps=1e-5):
     return x4
 
 
-def test_fused_stage_train_matches_ref():
+@pytest.mark.parametrize("pool_bwd", [None, "idx"])
+def test_fused_stage_train_matches_ref(pool_bwd, monkeypatch):
     from i2pnet_tpu.ops.conv_pallas_train import fused_stage_train
 
+    if pool_bwd is not None:
+        monkeypatch.setenv("I2PNET_POOL_BWD", pool_bwd)
     rng = np.random.default_rng(2)
     B, H, W = 2, 16, 32
     cin, channels, strides = 3, (8, 16), (2, 2)
@@ -377,7 +390,7 @@ def test_bn_pool_fwd_bwd(B, H, W, cout, stride, ties, bwd):
     # the kernel emits dy in bf16 (the conv consumes bf16); round the ref
     dy_rb = dy_r.astype(jnp.bfloat16).astype(jnp.float32)
     dy4 = unmerge(dy_m.astype(jnp.float32), cout)
-    if bwd == "pallas":
+    if bwd in ("pallas", "idx"):
         # accumulation mirrors select_and_scatter order: bit-exact
         assert float(jnp.max(jnp.abs(dy4 - dy_rb))) == 0.0
     else:

@@ -38,3 +38,37 @@ def test_selection_kernel_lowers_at_lv1_shape():
     )
 
 
+
+
+def _bn_pool_idx_grad(H, W, cout, stride):
+    from i2pnet_tpu.ops.conv_pallas_train import bn_pool
+
+    def f(ym, sc, sh):
+        o = bn_pool(ym, sc, sh, H=H, W=W, cout=cout, stride=stride,
+                    interpret=False, bwd="idx").astype(jnp.float32)
+        return jnp.sum(o)
+
+    return jax.grad(f, argnums=(0, 1, 2))
+
+
+def test_bn_pool_idx_lowers_at_stage1_wide_shape():
+    # the wide stage-1 stride-2 block (L = W*cout = 20480) the idx
+    # backward exists for; grad forces BOTH the fwd-idx and bwd-idx
+    # kernels through the Mosaic MLIR lowering. NOTE this layer does NOT
+    # run the target-specific Mosaic->LLO compile: the bf16-cmpf-on-v5e
+    # rejection (round-4f) passed export and only failed on the chip's
+    # AOT compiler — target-op-support bugs still need the real-TPU
+    # bench/driver runs
+    H, W, cout, stride = 384, 1280, 16, 2
+    ym = jnp.zeros((1, H, W * cout), jnp.bfloat16)
+    sc = jnp.ones((cout,), jnp.float32)
+    sh = jnp.zeros((cout,), jnp.float32)
+    _lower(_bn_pool_idx_grad(H, W, cout, stride), ym, sc, sh)
+
+
+def test_bn_pool_idx_lowers_at_stage1_stride1_shape():
+    H, W, cout, stride = 192, 640, 16, 1
+    ym = jnp.zeros((1, H, W * cout), jnp.bfloat16)
+    sc = jnp.ones((cout,), jnp.float32)
+    sh = jnp.zeros((cout,), jnp.float32)
+    _lower(_bn_pool_idx_grad(H, W, cout, stride), ym, sc, sh)

@@ -108,7 +108,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default="r2,remat,bn,remat_bn",
                     help="comma list: r2,remat,bn,remat_bn,bn_allties,"
-                         "fused,pool_spmd,wide_native,wide_sas")
+                         "fused,pool_spmd,pool_idx,pool_pallas,"
+                         "pool_native,pool_sas")
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
     print(f"backend: {jax.default_backend()} devices: {jax.devices()}", flush=True)
@@ -139,15 +140,14 @@ def main():
         # the reroute could be default-on (BASELINE.md round-3c)
         bench_variant("pool_spmd_s1", iters=it,
                       env={"I2PNET_POOL_SPMD_S1": "1"})
-    # wide-block (VMEM-overflow) bn_pool backward inside the FUSED train
-    # step: native merged max-tree autodiff vs unmerged reduce_window VJP
-    # (select-and-scatter) — only stage-1's two stride-2 blocks differ
-    if "wide_native" in v:
-        bench_variant("fused+wide_native", iters=it,
-                      env={"I2PNET_POOL_WIDE_BWD": "native"})
-    if "wide_sas" in v:
-        bench_variant("fused+wide_sas", iters=it,
-                      env={"I2PNET_POOL_WIDE_BWD": "sas"})
+    # pool-backward backend A/B inside the fused step (default is the
+    # round-4f winner "idx"; the others are the measured-slower
+    # verification backends — pallas loses nothing on narrow blocks but
+    # cannot cover wide ones, sas was the pre-idx wide default at 86.0)
+    for name in ("idx", "pallas", "native", "sas"):
+        if f"pool_{name}" in v:
+            bench_variant(f"fused+pool_{name}", iters=it,
+                          env={"I2PNET_POOL_BWD": name})
 
 
 if __name__ == "__main__":
