@@ -800,8 +800,8 @@ def _bn_pool_fwd_idx_p(y, sc_lane, sh_lane, *, H, W, cout, stride, ht_out,
 
 def _bn_pool_bwd_idx_kernel(
     sc_ref, sh_ref, selT_ref, ym_ref,
-    ip_ref, im_ref, in_ref, gp_ref, gm_ref, gn_ref, dz_ref,
-    *, H: int, W: int, cout: int, stride: int, htc: int,
+    ip_ref, im_ref, in_ref, gp_ref, gm_ref, gn_ref, *out_refs,
+    H: int, W: int, cout: int, stride: int, htc: int,
 ):
     """dz from the forward-saved tap-index plane: route each out grad to
     its recorded winner — no activation/out_val recompute, so the VMEM
@@ -886,8 +886,9 @@ def _bn_pool_bwd_idx_kernel(
         dz_acc = jnp.concatenate(
             [dz_ev[:, None, :], dz_od[:, None, :]], axis=1).reshape(htc, L)
 
-    zmain = (ym_ref[0].astype(jnp.float32) * sc_ref[0] + sh_ref[0])
-    dz_ref[0] = dz_acc * jnp.where(zmain >= 0, 1.0, 0.1)
+    ymf = ym_ref[0].astype(jnp.float32)
+    zmain = ymf * sc_ref[0] + sh_ref[0]
+    out_refs[0][0] = dz_acc * jnp.where(zmain >= 0, 1.0, 0.1)
 
 
 def _bn_pool_bwd_idx_p(y, sc_lane, sh_lane, idx, g, *, H, W, cout, stride,
@@ -916,6 +917,8 @@ def _bn_pool_bwd_idx_p(y, sc_lane, sh_lane, idx, g, *, H, W, cout, stride,
 
     kern = functools.partial(
         _bn_pool_bwd_idx_kernel, H=H, W=W, cout=cout, stride=stride, htc=htc)
+    out_specs = pl.BlockSpec((1, htc, L), im_main, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, H, L), jnp.float32)
     return pl.pallas_call(
         kern,
         grid=(B, ni),
@@ -934,9 +937,8 @@ def _bn_pool_bwd_idx_p(y, sc_lane, sh_lane, idx, g, *, H, W, cout, stride,
             pl.BlockSpec((1, ho, Lo), im_main, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ho, Lo), im_next, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, htc, L), im_main,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, L), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(sc_lane, sh_lane, selT, y, idx, idx, idx, g, g, g)
 
