@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--proj", action="store_true",
                     help="decompose the projection-family train step "
                          "(150k-pt cloud, 64x1800 grid) instead of free-point")
+    ap.add_argument("--dtype", default=None,
+                    help="compute_dtype override (bench.py ships both "
+                         "families at bfloat16; default: free=bfloat16, "
+                         "proj=config default)")
     args = ap.parse_args()
 
     import jax
@@ -85,6 +89,8 @@ def main():
     B = args.batch
     if args.proj:
         cfg = I2PNetProjConfig()
+        if args.dtype:
+            cfg = dataclasses.replace(cfg, compute_dtype=args.dtype)
         model = I2PNetProj(cfg)
         N = 150000
         raw_np = rng.normal(size=(B, N, 3)).astype(np.float32) * 15
@@ -107,7 +113,8 @@ def main():
         loss_fn = _proj_loss_fn(model, cfg)
         make_step = lambda: make_train_step_proj(model, cfg)
     else:
-        cfg = dataclasses.replace(I2PNetConfig(), compute_dtype="bfloat16")
+        cfg = dataclasses.replace(
+            I2PNetConfig(), compute_dtype=args.dtype or "bfloat16")
         model = I2PNet(cfg)
         rgb = jnp.asarray(rng.normal(size=(B, 384, 1280, 3)).astype(np.float32))
         lidar = jnp.asarray(
