@@ -48,6 +48,13 @@ def parse_args(argv=None):
                    help="online-calibration EFGH variant (kitti dataset, "
                         "free-point network): thread data['calib'] through "
                         "the forward (ref evaluation.py:354-356)")
+    p.add_argument("--dp", action="store_true",
+                   help="fan the eval batch out over ALL local devices on a "
+                        "pure-DP mesh (params replicated, batch sharded on "
+                        "axis 0; ragged final batch padded+trimmed). The "
+                        "fused-eval / dense-eval Pallas paths ride the "
+                        "ambient mesh via shard_map (SURVEY §5.8 eval "
+                        "fan-out)")
     p.add_argument("--knn_mode", default="exact", choices=["exact", "approx"],
                    help="level-1 KNN at eval: exact (default — reported "
                         "metrics carry no approximation; measured ~86 vs "
@@ -185,10 +192,15 @@ def main(argv=None):
         from i2pnet_tpu.utils.monitor import UniWriter
 
         writer = UniWriter(args.log_dir)
+    mesh = None
+    if args.dp:
+        from i2pnet_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
     evaluator = Evaluator(
         model, cfg, params_list, batch_stats_list,
         proj=proj, log_dir=args.log_dir, tag=args.tag,
-        writer=writer, vis_rate=args.vis_rate,
+        writer=writer, vis_rate=args.vis_rate, mesh=mesh,
     )
     summary = evaluator.validate(loader)
     if writer is not None:

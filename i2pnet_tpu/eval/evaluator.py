@@ -38,6 +38,7 @@ class Evaluator:
         tag: str = "",
         writer=None,
         vis_rate: int = 0,
+        mesh=None,
     ):
         self.model = model
         self.cfg = cfg
@@ -50,6 +51,14 @@ class Evaluator:
         self.proj = proj
         self.log_dir = log_dir
         self.tag = tag
+        # multi-device batch fan-out (SURVEY §5.8 eval fan-out): a pure-DP
+        # jax.sharding.Mesh shards every batch along axis 0 with params
+        # replicated; calls run under jax.set_mesh so the fused-eval /
+        # dense-eval Pallas guards (nn/layers.py _fused_mode,
+        # proj_backbone.proj_dense_eval_mode) ride the ambient dp axis via
+        # shard_map instead of falling back. Eval is per-example, so a
+        # ragged final batch is padded to the device count and trimmed.
+        self.mesh = mesh
         # projection-image fan-out (ref evaluation.py:630-657 logs
         # init/pred/gt overlays + an NHWC comparison batch to the writer);
         # vis_rate=N logs sample 0 of every Nth batch, 0 disables
@@ -76,14 +85,37 @@ class Evaluator:
                 )
             return out["out3"], out["out4"]
 
-        self._forward = jax.jit(forward)
-
-        # cascade re-warp: compose prediction into the cloud for the next
-        # stage (ref evaluation_cmr.py:330-346)
         def rewarp(lidar, out3):
+            # cascade re-warp: compose prediction into the cloud for the
+            # next stage (ref evaluation_cmr.py:330-346)
             return Q.warp_points(lidar, out3[:, :4], out3[:, 4:])
 
-        self._rewarp = jax.jit(rewarp)
+        if mesh is None:
+            self._forward = jax.jit(forward)
+            self._rewarp = jax.jit(rewarp)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P(mesh.axis_names[0]))
+            jfwd = jax.jit(
+                forward,
+                in_shardings=(repl, repl, data, data, data, data, data, data),
+                out_shardings=data,
+            )
+            jrw = jax.jit(rewarp, in_shardings=(data, data),
+                          out_shardings=data)
+
+            def fwd_call(*args):
+                with jax.set_mesh(mesh):
+                    return jfwd(*args)
+
+            def rw_call(*args):
+                with jax.set_mesh(mesh):
+                    return jrw(*args)
+
+            self._forward = fwd_call
+            self._rewarp = rw_call
 
     def _log_projection_images(self, rgb, lidar, intrinsic, out3_np,
                                q_gt, t_gt) -> None:
@@ -135,6 +167,26 @@ class Evaluator:
             feats = jnp.asarray(mb["lidar_feats"]) if "lidar_feats" in mb else None
             calib = jnp.asarray(mb["calib"]) if "calib" in mb else None
 
+            # DP fan-out: pad a ragged final batch up to the device count
+            # (eval is per-example — BN uses fixed stats — so repeated pad
+            # rows change nothing; their outputs are trimmed below)
+            n_orig = int(rgb.shape[0])
+            if self.mesh is not None:
+                n_dev = int(self.mesh.devices.size)
+                rem = n_orig % n_dev
+                if rem:
+                    k = n_dev - rem
+
+                    def _pad(a):
+                        if a is None:
+                            return None
+                        return jnp.concatenate(
+                            [a, jnp.repeat(a[-1:], k, axis=0)], axis=0)
+
+                    rgb, lidar, raw_xyz, intrinsic, feats, calib = (
+                        _pad(rgb), _pad(lidar), _pad(raw_xyz),
+                        _pad(intrinsic), _pad(feats), _pad(calib))
+
             t0 = time.perf_counter()
             out3 = None
             q_acc = t_acc = None
@@ -153,7 +205,7 @@ class Evaluator:
                 if len(self.params_list) > 1:
                     cur_lidar = self._rewarp(lidar, jnp.concatenate([q_acc, t_acc], 1))
             out3 = jnp.concatenate([q_acc, t_acc], axis=1)
-            out3_np = np.asarray(jax.block_until_ready(out3))
+            out3_np = np.asarray(jax.block_until_ready(out3))[:n_orig]
             batch_times.append((time.perf_counter() - t0, out3_np.shape[0]))
 
             q_gt = np.asarray(batch["decalib_real_gt"])

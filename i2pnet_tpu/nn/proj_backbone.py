@@ -32,25 +32,30 @@ from i2pnet_tpu.ops.projection import (
 )
 
 
-def proj_dense_eval_enabled(train: bool) -> bool:
+def proj_dense_eval_mode(train: bool, batch: Optional[int] = None):
     """Trace-time gate for the dense-eval ProjectPointNet path.
 
-    Default ("auto"): engaged at eval on TPU only — the measured winner
-    (proj fwd 158.3 -> 214.0 pairs/s bf16, BASELINE.md round-4b/4c: dense
-    multiplicity path + Pallas K-pass selection kernel, take-based
-    candidate builder). Training keeps the gathered path (dense measured
-    slower on the train step). I2PNET_PROJ_DENSE_EVAL=0 disables; =1
-    forces it on any backend (interpret-mode Pallas off-TPU — CPU tests
-    only, slow).
+    Returns ``(mode, dp_axis)`` with the same guard matrix as the fused
+    encoder (nn/layers.py _fused_mode — the round-4 verdict asked for the
+    symmetric treatment on the eval side): "auto" engages the dense path
+    at eval on single-device TPU, and on multi-device TPU ONLY under an
+    ambient pure-DP mesh, where the selection-multiplicity pallas_call
+    rides a ``jax.shard_map`` over the data axis (it is per-example, so
+    no collective is needed); any other multi-device mesh falls back to
+    the gathered path instead of emitting an unpartitionable pallas_call.
+    I2PNET_PROJ_DENSE_EVAL=0 disables; =1 forces it on any backend
+    (interpret-mode Pallas off-TPU — CPU tests only, slow); "interpret"
+    forces interpret-mode kernels.
+
+    The dense path itself is the measured eval winner (proj fwd
+    158.3 -> 214.0 pairs/s bf16, BASELINE.md round-4b/4c). Training keeps
+    the gathered path (dense measured slower on the train step).
     """
     if train:
-        return False
-    v = os.environ.get("I2PNET_PROJ_DENSE_EVAL", "auto")
-    if v == "0":
-        return False
-    if v == "1":
-        return True
-    return jax.default_backend() == "tpu"
+        return None, None
+    from i2pnet_tpu.nn.layers import _fused_mode
+
+    return _fused_mode("I2PNET_PROJ_DENSE_EVAL", "auto", batch)
 
 
 class ProjectPointNet(nn.Module):
@@ -88,11 +93,10 @@ class ProjectPointNet(nn.Module):
     ):
         B, H, W, _ = xyz.shape
         N = self.out_h * self.out_w
-        if (
-            self.use_bn
-            and not self.is_initializing()
-            and proj_dense_eval_enabled(train)
-        ):
+        dense_mode, dense_dp = (None, None)
+        if self.use_bn and not self.is_initializing():
+            dense_mode, dense_dp = proj_dense_eval_mode(train, B)
+        if dense_mode is not None:
             # dense multiplicity-weighted eval path: no K-gathers, MLP
             # over all khw+1 slots + masked max, multiplicities from the
             # Pallas K-pass kernel (ops/dense_window.py +
@@ -101,10 +105,9 @@ class ProjectPointNet(nn.Module):
             # path — dense measured slower there (BASELINE.md round-4).
             from i2pnet_tpu.ops.dense_window import dense_pointnet_eval
 
-            interp = jax.default_backend() != "tpu"
             return dense_pointnet_eval(
                 xyz_raw, xyz, feature, self.variables["params"],
-                pallas_m="interpret" if interp else "tpu",
+                pallas_m=dense_mode, dp_axis=dense_dp,
                 out_h=self.out_h, out_w=self.out_w,
                 stride_h=self.stride_h, stride_w=self.stride_w,
                 kernel_size=self.kernel_size, nsample=self.nsample,

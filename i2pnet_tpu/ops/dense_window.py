@@ -80,6 +80,7 @@ def dense_pointnet_eval(
     dtype: Optional[jnp.dtype] = None,
     eps: float = BN_EPS,
     pallas_m: Optional[str] = None,
+    dp_axis: Optional[str] = None,
 ):
     """ProjectPointNet.__call__ with use_bn=True, evaluated densely.
 
@@ -90,6 +91,13 @@ def dense_pointnet_eval(
     pallas_m: None — multiplicities from the shipped top_k selector;
     "tpu"/"interpret" — the ops/select_pallas.py K-pass kernel (exact
     same multiset; no top_k, no one-hot histogram).
+
+    dp_axis: run the selection-multiplicity pallas_call per-shard under
+    ``jax.shard_map`` over that ambient pure-DP mesh axis (the kernel is
+    per-example, so no collective is needed; a raw pallas_call has no
+    GSPMD partitioning rule). Everything else in the dense path is plain
+    XLA, which GSPMD partitions itself — including the m-weighted BN
+    statistics, whose batch reductions become psums.
     """
     B, H, W, _ = xyz.shape
     N = out_h * out_w
@@ -103,13 +111,25 @@ def dense_pointnet_eval(
     if pallas_m is not None:
         from i2pnet_tpu.ops.select_pallas import selection_multiplicity_pallas
 
+        def _sel(g):
+            return selection_multiplicity_pallas(
+                g, out_h=out_h, out_w=out_w, qstride=qstride,
+                kernel_size=kernel_size, K=nsample, distance=distance,
+                interpret=(pallas_m == "interpret"),
+            )
+
+        if dp_axis is not None:
+            from jax.sharding import PartitionSpec as _P
+
+            # check_vma off: pallas_call carries no varying-mesh-axes info
+            # for the checker; correctness pinned by tests/test_dp_fused.py
+            _sel = jax.shard_map(
+                _sel, in_specs=(_P(dp_axis),), out_specs=_P(dp_axis),
+                check_vma=False,
+            )
         # selection indices are non-differentiable in the gathered path;
         # stop_gradient keeps autodiff from needing a pallas_call VJP
-        m = jax.lax.stop_gradient(selection_multiplicity_pallas(
-            xyz_pr, out_h=out_h, out_w=out_w, qstride=qstride,
-            kernel_size=kernel_size, K=nsample, distance=distance,
-            interpret=(pallas_m == "interpret"),
-        ))
+        m = jax.lax.stop_gradient(_sel(xyz_pr))
     else:
         args, _ = window_neighbor_select_grid(
             xyz_pr, xyz_pr, out_h, out_w, qstride, kernel_size, nsample,

@@ -228,13 +228,36 @@ def farthest_point_sample(
     On TPU dispatches to the Pallas kernel (ops.fps_pallas) — one kernel,
     VMEM-resident state; elsewhere a lax.fori_loop with a fused (B, N)
     distance update + argmax per step.
+
+    Multi-device guard (same matrix as nn/layers.py _fused_mode): a raw
+    pallas_call has no GSPMD partitioning rule, so on a multi-device
+    process the kernel engages only under an ambient PURE-DP mesh, riding
+    a per-shard ``jax.shard_map`` over the data axis (FPS is per-example);
+    any other multi-device trace falls back to the XLA loop, which GSPMD
+    partitions itself.
     """
+    B = xyz.shape[0]
+    dp_axis = None
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+        if use_pallas and jax.device_count() > 1:
+            from i2pnet_tpu.nn.layers import _ambient_dp_axis
+
+            dp_axis = _ambient_dp_axis(B)
+            if dp_axis is None:
+                use_pallas = False
     if use_pallas:
         from i2pnet_tpu.ops.fps_pallas import fps_pallas
 
-        return fps_pallas(xyz, npoint)
+        call = lambda g: fps_pallas(g, npoint)
+        if dp_axis is not None:
+            from jax.sharding import PartitionSpec as _P
+
+            call = jax.shard_map(
+                call, in_specs=(_P(dp_axis),), out_specs=_P(dp_axis),
+                check_vma=False,
+            )
+        return call(xyz)
     B, N, _ = xyz.shape
 
     def body(i, state):

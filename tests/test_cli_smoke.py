@@ -129,13 +129,19 @@ def test_cli_train_eval_cascade_cmr(tmp_path):
 
     info = str(tmp_path / "info_test")
     # TWO --model_dir entries = the reference's two-stage cascade protocol
-    # (evaluation_cmr.py: coarse stage re-warps the cloud for the next)
+    # (evaluation_cmr.py: coarse stage re-warps the cloud for the next);
+    # --vis_rate exercises the eval-time projection-image fan-out
+    # (ref evaluation.py:630-657 add_image calls)
     _run_cli("evaluate.py", [
         "--dataset", "kd_cmr_snr", "--network", "i2pnet", "--tiny",
         "--root_path", root, "--model_dir", log, log,
         "--log_dir", info, "--batch_size", "1", "--analyze",
+        "--vis_rate", "2",
     ])
     assert os.path.exists(os.path.join(info, "prediction.txt"))
+    # the vis hook attached a UniWriter: TB event file in the eval log dir
+    assert any(f.startswith("events.out.tfevents") for f in os.listdir(info)), (
+        os.listdir(info))
     npz = [f for f in os.listdir(info) if f.endswith(".npz")]
     assert npz, os.listdir(info)
     from i2pnet_tpu.eval.analysis import parse_prediction_file

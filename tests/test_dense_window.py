@@ -113,6 +113,84 @@ def test_selection_multiplicity_pallas_exact(out_hw, qstride, kernel, K,
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
+def test_proj_dense_eval_mode_guard_matrix(monkeypatch):
+    """The dense-eval gate carries the fused-encoder guard matrix
+    (round-4 verdict item 2a): auto falls back to the gathered path on
+    multi-device without an ambient pure-DP mesh; rides shard_map when
+    one is present; train always stays gathered."""
+    from jax.sharding import Mesh
+
+    from i2pnet_tpu.nn.proj_backbone import proj_dense_eval_mode
+
+    monkeypatch.setenv("I2PNET_PROJ_DENSE_EVAL", "auto")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(jax, "device_count", lambda: 8)
+
+    assert proj_dense_eval_mode(True, 8) == (None, None)  # train: off
+    # multi-device, no ambient mesh: gathered fallback (NOT a raw
+    # pallas_call under a sharded jit)
+    assert proj_dense_eval_mode(False, 8) == (None, None)
+
+    with jax.set_mesh(Mesh(np.asarray(jax.devices()[:4]), ("data",))):
+        assert proj_dense_eval_mode(False, 8) == ("tpu", "data")
+        # batch not divisible by the axis -> gathered
+        assert proj_dense_eval_mode(False, 6) == (None, None)
+    with jax.set_mesh(Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                           ("data", "space"))):
+        assert proj_dense_eval_mode(False, 8) == (None, None)
+
+    monkeypatch.setattr(jax, "device_count", lambda: 1)
+    assert proj_dense_eval_mode(False, 8) == ("tpu", None)
+    monkeypatch.setenv("I2PNET_PROJ_DENSE_EVAL", "0")
+    assert proj_dense_eval_mode(False, 8) == (None, None)
+
+
+def test_dense_eval_dp_matches_single_device(monkeypatch):
+    """Under an ambient pure-DP mesh the dense-eval path ENGAGES with the
+    selection-multiplicity kernel riding a shard_map over 'data', and the
+    sharded module output matches the single-device gathered path
+    (round-4 verdict item 2a; template: tests/test_dp_fused.py)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import i2pnet_tpu.ops.dense_window as dw
+
+    xyz_raw, xyz, feat = _grids(7, B=8)
+    kw = dict(
+        out_h=4, out_w=8, stride_h=2, stride_w=2, kernel_size=(3, 5),
+        nsample=4, distance=1.5, mlp=(8, 16),
+    )
+    mod = ProjectPointNet(use_trans=True, use_bn=True, **kw)
+    monkeypatch.setenv("I2PNET_PROJ_DENSE_EVAL", "0")
+    variables = mod.init(
+        jax.random.PRNGKey(2), xyz_raw, xyz, feat, center_mode=True)
+    fwd = lambda v, a, b, c: mod.apply(v, a, b, c, center_mode=True)
+    _, _, ref = jax.jit(fwd)(variables, xyz_raw, xyz, feat)
+
+    monkeypatch.setenv("I2PNET_PROJ_DENSE_EVAL", "interpret")
+    engaged = []
+    real = dw.dense_pointnet_eval
+
+    def spy(*a, **k):
+        engaged.append(k.get("dp_axis"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(dw, "dense_pointnet_eval", spy)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    jitted = jax.jit(fwd, in_shardings=(repl, data, data, data),
+                     out_shardings=data)
+    with jax.set_mesh(mesh):
+        _, _, out = jitted(jax.device_put(variables, repl),
+                           jax.device_put(xyz_raw, data),
+                           jax.device_put(xyz, data),
+                           jax.device_put(feat, data))
+    assert engaged and engaged[-1] == "data"
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(out), rtol=1e-5, atol=1e-5)
+
+
 def test_dense_eval_routing_through_module(monkeypatch):
     """I2PNET_PROJ_DENSE_EVAL=1 routes ProjectPointNet eval through the
     dense path (Pallas K-pass multiplicities, the TPU eval default)

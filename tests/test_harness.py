@@ -276,6 +276,55 @@ def test_evaluator_end_to_end(synth_root, tmp_path):
     assert ra["count"] == 4
 
 
+def test_evaluator_dp_mesh(synth_root, tmp_path):
+    """Evaluator(mesh=...) fans batches over a pure-DP mesh — params
+    replicated, batch sharded on axis 0, ragged final batch padded to the
+    device count and trimmed — and reproduces the single-device metrics
+    (round-4 verdict item 2c; SURVEY §5.8 eval fan-out)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from i2pnet_tpu.config import I2PNetConfig
+    from i2pnet_tpu.data.pipeline import BatchLoader
+    from i2pnet_tpu.eval import Evaluator
+    from i2pnet_tpu.models import I2PNet
+
+    cfg = I2PNetConfig.tiny()
+    model = I2PNet(cfg)
+    _, valid_ds = _make_datasets(synth_root, cfg)
+    s = valid_ds[0]
+    variables = model.init(
+        jax.random.key(0),
+        jnp.asarray(s["rgb"])[None],
+        jnp.asarray(s["lidar"])[None],
+        jnp.asarray(s["init_intrinsic"])[None],
+        train=False,
+    )
+    args = (model, cfg, [variables["params"]],
+            [variables.get("batch_stats", {})])
+
+    # batch 3 over 4 samples: a full batch of 3 (pads to 4 on the 2-device
+    # mesh) and a ragged final batch of 1 (pads to 2). The dataset RNG is
+    # re-seeded before each run so both see identical decalibrations
+    # (evaluate.py does the same between cascade template fetch and eval).
+    valid_ds.rng = np.random.default_rng(0)
+    ref = Evaluator(*args, log_dir=str(tmp_path / "ref")).validate(
+        BatchLoader(valid_ds, 3, shuffle=False, drop_last=False))
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("data",))
+    valid_ds.rng = np.random.default_rng(0)
+    dp = Evaluator(*args, log_dir=str(tmp_path / "dp"), mesh=mesh).validate(
+        BatchLoader(valid_ds, 3, shuffle=False, drop_last=False))
+
+    assert dp["count"] == ref["count"] == 4
+    # per-example eval: only sharded-executable fp rounding differs
+    # (measured out3 delta ~1e-6); a padding/trim or routing defect would
+    # show at O(1)
+    for k in ("rte_mean", "rre_mean", "msee", "yaw_deg", "x_m"):
+        np.testing.assert_allclose(
+            dp[k], ref[k], rtol=1e-3, atol=1e-4, err_msg=k)
+
+
 def test_evaluator_vis_fanout(synth_root, tmp_path):
     """vis_rate logs init/pred/gt overlays + an NHWC comparison batch per
     sampled batch, with the reference's tags (ref evaluation.py:630-657)."""

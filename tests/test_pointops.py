@@ -184,6 +184,43 @@ def test_fps_pallas_interpret_matches_xla():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_fps_multidevice_guard(monkeypatch):
+    """farthest_point_sample's Pallas dispatch carries the multi-device
+    guard matrix (nn/layers.py _fused_mode semantics): on a multi-device
+    TPU process with no ambient pure-DP mesh it falls back to the XLA
+    loop (a raw pallas_call has no GSPMD partitioning rule); under an
+    ambient pure-DP mesh the kernel runs per-shard via shard_map."""
+    import jax
+    from jax.sharding import Mesh
+
+    import i2pnet_tpu.ops.fps_pallas as fp
+
+    rng = np.random.default_rng(3)
+    xyz = jnp.asarray(rng.normal(size=(8, 32, 3)).astype(np.float32))
+    ref = np.asarray(P.farthest_point_sample(xyz, 8, use_pallas=False))
+
+    calls = []
+
+    def spy(g, npoint, interpret=False):
+        calls.append(g.shape)
+        return P.farthest_point_sample(g, npoint, use_pallas=False)
+
+    monkeypatch.setattr(fp, "fps_pallas", spy)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(jax, "device_count", lambda: 8)
+
+    # multi-device, no ambient mesh: XLA loop, kernel NOT dispatched
+    out = P.farthest_point_sample(xyz, 8)
+    assert not calls
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+    # ambient pure-DP mesh: kernel engages per-shard (batch 8 / 4 devices)
+    with jax.set_mesh(Mesh(np.asarray(jax.devices()[:4]), ("data",))):
+        out_dp = P.farthest_point_sample(xyz, 8)
+    assert calls and calls[-1][0] == 2
+    np.testing.assert_array_equal(np.asarray(out_dp), ref)
+
+
 def test_knn_exact_flag_paths():
     rng = np.random.default_rng(12)
     xyz = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))

@@ -45,9 +45,10 @@ def main():
                     help="decompose the projection-family train step "
                          "(150k-pt cloud, 64x1800 grid) instead of free-point")
     ap.add_argument("--dtype", default=None,
-                    help="compute_dtype override (bench.py ships both "
-                         "families at bfloat16; default: free=bfloat16, "
-                         "proj=config default)")
+                    help="compute_dtype override; default bfloat16 for BOTH "
+                         "families to match what bench.py ships (round-4 "
+                         "advisor: the old proj default measured a different "
+                         "executable than the benchmark)")
     args = ap.parse_args()
 
     import jax
@@ -88,9 +89,9 @@ def main():
     rng = np.random.default_rng(0)
     B = args.batch
     if args.proj:
-        cfg = I2PNetProjConfig()
-        if args.dtype:
-            cfg = dataclasses.replace(cfg, compute_dtype=args.dtype)
+        cfg = dataclasses.replace(
+            I2PNetProjConfig(), compute_dtype=args.dtype or "bfloat16")
+        print(f"proj compute_dtype = {cfg.compute_dtype}", flush=True)
         model = I2PNetProj(cfg)
         N = 150000
         raw_np = rng.normal(size=(B, N, 3)).astype(np.float32) * 15
