@@ -57,11 +57,11 @@ def sync(x):
     return np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[0]))
 
 
-def _windows(run_iters, warmup):
-    """Median pairs/s over WINDOWS independent timing windows + spread."""
+def _windows(run_iters, warmup, windows=WINDOWS):
+    """Median pairs/s over `windows` independent timing windows + spread."""
     warmup()
     vals = []
-    for _ in range(WINDOWS):
+    for _ in range(windows):
         dt = run_iters(ITERS)
         vals.append(BATCH * ITERS / dt)
     vals.sort()
@@ -220,7 +220,11 @@ def bench_proj():
         sync(m["loss"])
         return time.perf_counter() - t0
 
-    proj_train, proj_train_spread = _windows(train_window, train_warmup)
+    # 5 windows here (vs 3 elsewhere): BENCH_r04's proj_train_spread was
+    # 2.5% — the noisiest number on the scoreboard (round-4 verdict weak
+    # #4) — so its median gets two extra windows of protection
+    proj_train, proj_train_spread = _windows(train_window, train_warmup,
+                                             windows=5)
     return {
         "fwd": proj_fwd, "fwd_spread": proj_fwd_spread,
         "train": proj_train, "train_spread": proj_train_spread,
