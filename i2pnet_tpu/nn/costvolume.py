@@ -15,6 +15,7 @@ TPU notes:
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import flax.linen as nn
@@ -121,8 +122,26 @@ class CostVolume(nn.Module):
 
         if self.backward_validation:
             # image -> lidar max response over all points (ref :178-190)
-            repeat_correlation = qi_points_norm * pi_points_norm
-            image_max_respond = jnp.max(repeat_correlation, axis=1, keepdims=True)
+            if self.nsample_q <= 0 and os.environ.get(
+                    "I2PNET_CV_FACTORED_RESPOND", "1") != "0":
+                # all-pixels factorization: qi_norm is constant over the
+                # point axis n and pi_norm over the pixel axis k, so
+                # max_n(pi*qi) = qi>=0 ? qi*max_n(pi) : qi*min_n(pi) —
+                # O((N+K)C) instead of materializing + reducing the
+                # (B,N,K,C) correlation tensor. Exact same max values
+                # (the winning product is literally the same fp multiply);
+                # only tie routing in the backward can differ.
+                pn = pi_points_norm[:, :, 0, :]  # (B, N, C)
+                qn = qi_points_norm[:, 0, :, :]  # (B, K, C)
+                maxp = jnp.max(pn, axis=1, keepdims=True)  # (B, 1, C)
+                minp = jnp.min(pn, axis=1, keepdims=True)
+                image_max_respond = jnp.where(
+                    qn >= 0, qn * maxp, qn * minp
+                )[:, None]  # (B, 1, K, C)
+            else:
+                repeat_correlation = qi_points_norm * pi_points_norm
+                image_max_respond = jnp.max(
+                    repeat_correlation, axis=1, keepdims=True)
             if self.backward_fc:
                 image_max_respond = PointwiseConv(
                     image_max_respond.shape[-1], use_bn=True

@@ -149,11 +149,17 @@ def gen_large_root(root, rng, frames_train=60, frames_eval=12, n_points=40000):
 
 def _run(script, argv, log_path, timeout=7200):
     cmd = [sys.executable, "-u", os.path.join(REPO, script)] + argv
+    env = dict(os.environ)
+    # persistent compile cache for the CLI subprocesses (jax honors the env
+    # var): the big exact-KNN eval executable compiles once per box, not
+    # once per rehearsal. Keyed per backend — never share CPU/axon caches.
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_i2pnet_cli")
     with open(log_path, "a") as lf:
         lf.write("\n$ " + " ".join(cmd) + "\n")
         lf.flush()
         rc = subprocess.run(
-            cmd, stdout=lf, stderr=subprocess.STDOUT, timeout=timeout, cwd=REPO
+            cmd, stdout=lf, stderr=subprocess.STDOUT, timeout=timeout,
+            cwd=REPO, env=env,
         ).returncode
     if rc != 0:
         tail = open(log_path).read()[-3000:]
