@@ -15,7 +15,6 @@ TPU notes:
 
 from __future__ import annotations
 
-import os
 from typing import Sequence
 
 import flax.linen as nn
@@ -121,27 +120,17 @@ class CostVolume(nn.Module):
         pi_feat1_new = jnp.concatenate([pi_xyz_diff_concat, pi_feat_diff], axis=3)
 
         if self.backward_validation:
-            # image -> lidar max response over all points (ref :178-190)
-            if self.nsample_q <= 0 and os.environ.get(
-                    "I2PNET_CV_FACTORED_RESPOND", "1") != "0":
-                # all-pixels factorization: qi_norm is constant over the
-                # point axis n and pi_norm over the pixel axis k, so
-                # max_n(pi*qi) = qi>=0 ? qi*max_n(pi) : qi*min_n(pi) —
-                # O((N+K)C) instead of materializing + reducing the
-                # (B,N,K,C) correlation tensor. Exact same max values
-                # (the winning product is literally the same fp multiply);
-                # only tie routing in the backward can differ.
-                pn = pi_points_norm[:, :, 0, :]  # (B, N, C)
-                qn = qi_points_norm[:, 0, :, :]  # (B, K, C)
-                maxp = jnp.max(pn, axis=1, keepdims=True)  # (B, 1, C)
-                minp = jnp.min(pn, axis=1, keepdims=True)
-                image_max_respond = jnp.where(
-                    qn >= 0, qn * maxp, qn * minp
-                )[:, None]  # (B, 1, K, C)
-            else:
-                repeat_correlation = qi_points_norm * pi_points_norm
-                image_max_respond = jnp.max(
-                    repeat_correlation, axis=1, keepdims=True)
+            # image -> lidar max response over all points (ref :178-190).
+            # Round-5 negative (BASELINE.md): algebraically factoring this
+            # max out of (B,N,K,C) via qi>=0 ? qi*max_n(pi) : qi*min_n(pi)
+            # measured SLOWER in situ (train step 67.3 -> 69.8/70.4 ms,
+            # fwd 22.5 -> 23.7 ms) — the product is materialized for
+            # pi_feat_diff anyway and XLA fuses this max into that pass,
+            # while the factored form costs an extra broadcast
+            # materialization at the concat. Same lesson as im2col: A/B
+            # inside the full step before routing a "cheaper" subgraph.
+            repeat_correlation = qi_points_norm * pi_points_norm
+            image_max_respond = jnp.max(repeat_correlation, axis=1, keepdims=True)
             if self.backward_fc:
                 image_max_respond = PointwiseConv(
                     image_max_respond.shape[-1], use_bn=True

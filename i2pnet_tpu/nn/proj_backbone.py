@@ -304,29 +304,12 @@ class ProjCostVolume(nn.Module):
         pi_feat1_new = jnp.concatenate([pi_xyz_diff_concat, pi_feat_diff], 3)
 
         if self.backward_validation:
+            # round-5 negative: the factored form of this masked max
+            # measured slower in situ (see nn/costvolume.py + BASELINE.md)
+            repeat_correlation = qi_points_norm * pi_points_norm
             valid_mask = check_valid(warped_xyz)[..., None]  # (B,N,1,1)
-            if self.nsample_q <= 0 and os.environ.get(
-                    "I2PNET_CV_FACTORED_RESPOND", "1") != "0":
-                # all-pixels factorization (see nn/costvolume.py): qi_norm
-                # is constant over n, pi_norm over k, so the valid-masked
-                # max over n factorizes through masked max/min of pi_norm —
-                # no (B,N,K,C) correlation tensor
-                pn = pi_points_norm[:, :, 0, :]  # (B, N, C)
-                qn = qi_points_norm[:, 0, :, :]  # (B, K, C)
-                vm = valid_mask[:, :, 0, :] > 0  # (B, N, 1)
-                pmax = jnp.max(jnp.where(vm, pn, -jnp.inf), axis=1,
-                               keepdims=True)
-                pmin = jnp.min(jnp.where(vm, pn, jnp.inf), axis=1,
-                               keepdims=True)
-                any_valid = jnp.any(vm, axis=1, keepdims=True)  # (B,1,1)
-                resp = jnp.where(qn >= 0, qn * pmax, qn * pmin)
-                image_max_respond = jnp.where(
-                    any_valid, resp, jnp.float32(-1e10))[:, None]
-            else:
-                repeat_correlation = qi_points_norm * pi_points_norm
-                masked = (repeat_correlation * valid_mask
-                          + -1e10 * (1 - valid_mask))
-                image_max_respond = jnp.max(masked, axis=1, keepdims=True)
+            masked = repeat_correlation * valid_mask + -1e10 * (1 - valid_mask)
+            image_max_respond = jnp.max(masked, axis=1, keepdims=True)
             image_max_respond = jnp.broadcast_to(
                 image_max_respond, (B, N) + image_max_respond.shape[2:]
             )

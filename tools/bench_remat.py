@@ -148,14 +148,8 @@ def main():
         if f"pool_{name}" in v:
             bench_variant(f"fused+pool_{name}", iters=it,
                           env={"I2PNET_POOL_BWD": name})
-    # round-5: factored vs dense image->lidar max response in cv1
-    # (nn/costvolume.py backward_validation; run one variant per process)
-    if "cv_dense" in v:
-        bench_variant("cv_dense_respond", iters=it,
-                      env={"I2PNET_CV_FACTORED_RESPOND": "0"})
-    if "cv_factored" in v:
-        bench_variant("cv_factored_respond", iters=it,
-                      env={"I2PNET_CV_FACTORED_RESPOND": "1"})
+    # (round-5 cv_dense/cv_factored respond variants measured: factored
+    # lost 67.3 -> 69.8/70.4 ms and was deleted — BASELINE.md round-5)
 
 
 if __name__ == "__main__":
