@@ -497,18 +497,27 @@ class BatchStatsNorm(nn.Module):
     The projection path uses this everywhere (ref PPBackbone_center.py:30
     `BatchNorm2d(track_running_stats=not use_bn_input)` with
     use_bn_input=True, config_proj_lidarcenter.py:8).
+
+    dtype: apply the normalization in this dtype (statistics are always
+    computed in f32) — the PointwiseConv bn-in-compute-dtype path.
     """
 
     epsilon: float = BN_EPS
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=axes, keepdims=True)
-        var = jnp.var(x, axis=axes, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.var(xf, axis=axes, keepdims=True)
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        if self.dtype is not None:
+            rs = (jax.lax.rsqrt(var + self.epsilon)).astype(self.dtype)
+            y = (x.astype(self.dtype) - mean.astype(self.dtype)) * rs
+            return y * scale.astype(self.dtype) + bias.astype(self.dtype)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
         return y * scale + bias
 
 
@@ -530,9 +539,26 @@ class PointwiseConv(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.Dense(self.features, dtype=self.dtype)(x)
         if self.use_bn:
-            # normalization statistics always in f32
-            x = x.astype(jnp.float32)
-            x = batch_norm(train)(x) if self.bn_stats else BatchStatsNorm()(x)
+            # statistics always f32; with a compute dtype set, the
+            # NORMALIZATION is applied in it (the encoder's round-3
+            # bn_compute_dtype recipe) — halves the BN/activation chain's
+            # HBM traffic and residuals on the big (B,N,K,C) tensors
+            # (round-5b: cv1 grad 19 GB accessed was ~2x its bf16 budget;
+            # I2PNET_PW_BN_F32=1 restores the all-f32 application for A/B)
+            bn_dt = self.dtype
+            if bn_dt is None or os.environ.get("I2PNET_PW_BN_F32") == "1":
+                bn_dt = None
+            if self.bn_stats:
+                if bn_dt is not None:
+                    x = nn.BatchNorm(
+                        use_running_average=not train, momentum=BN_MOMENTUM,
+                        epsilon=BN_EPS, dtype=bn_dt,
+                    )(x)
+                else:
+                    x = batch_norm(train)(x.astype(jnp.float32))
+            else:
+                x = BatchStatsNorm(dtype=bn_dt)(
+                    x if bn_dt is not None else x.astype(jnp.float32))
         if self.activation == "leaky":
             x = nn.leaky_relu(x, negative_slope=0.1)
         elif self.activation == "relu":

@@ -150,6 +150,13 @@ def main():
                           env={"I2PNET_POOL_BWD": name})
     # (round-5 cv_dense/cv_factored respond variants measured: factored
     # lost 67.3 -> 69.8/70.4 ms and was deleted — BASELINE.md round-5)
+    # round-5b: PointwiseConv BN application dtype (stats stay f32).
+    # pw_bn_f32 is the round-4 behavior (astype(f32) before BN on every
+    # (B,N,K,C) tensor); the bf16 application is the new default.
+    if "pw_bn_f32" in v:
+        bench_variant("pw_bn_f32", iters=it, env={"I2PNET_PW_BN_F32": "1"})
+    if "pw_bn_bf16" in v:
+        bench_variant("pw_bn_bf16", iters=it)
 
 
 if __name__ == "__main__":
