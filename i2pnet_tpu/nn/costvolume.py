@@ -147,7 +147,7 @@ class CostVolume(nn.Module):
         )
 
         pi_xyz_encoding = PointwiseConv(
-            self.mlp1[-1], use_bn=True, name="pi_encoding"
+            self.mlp1[-1], use_bn=True, dtype=self.dtype, name="pi_encoding"
         )(pi_xyz_diff_concat, train)
 
         if not self.max_cost:
@@ -179,7 +179,7 @@ class CostVolume(nn.Module):
             [pc_xyz_new, pc_xyz_grouped, pc_xyz_diff, pc_euc_diff], axis=3
         )
         pc_xyz_encoding = PointwiseConv(
-            self.mlp1[-1], use_bn=True, name="pc_encoding"
+            self.mlp1[-1], use_bn=True, dtype=self.dtype, name="pc_encoding"
         )(pc_xyz_diff_concat, train)
 
         pc_concat = jnp.concatenate(

@@ -320,7 +320,8 @@ class ProjCostVolume(nn.Module):
             name="mlp1_convs",
         )(pi_feat1_new, train)
         pi_xyz_encoding = PointwiseConv(
-            self.mlp1[-1], use_bn=self.use_bn, bn_stats=False, name="pi_encoding"
+            self.mlp1[-1], use_bn=self.use_bn, bn_stats=False,
+            dtype=self.dtype, name="pi_encoding"
         )(pi_xyz_diff_concat, train)
         pi_concat = jnp.concatenate([pi_xyz_encoding, pi_feat1_new], 3)
         pi_concat = PointwiseMLP(
@@ -361,7 +362,8 @@ class ProjCostVolume(nn.Module):
             [pc_xyz_new, pc_xyz_grouped, pc_xyz_diff, pc_euc_diff], 3
         )
         pc_xyz_encoding = PointwiseConv(
-            self.mlp1[-1], use_bn=self.use_bn, bn_stats=False, name="pc_encoding"
+            self.mlp1[-1], use_bn=self.use_bn, bn_stats=False,
+            dtype=self.dtype, name="pc_encoding"
         )(pc_xyz_diff_concat, train)
         pc_concat = jnp.concatenate(
             [pc_xyz_encoding, pc_points_new, pc_points_grouped], -1
