@@ -83,82 +83,116 @@ class CostVolume(nn.Module):
         # restore depth (ref :141)
         warped_xyz = warped_xyz * lidar_z
 
-        K = qi_xyz_grouped.shape[2]
-        pi_xyz_expanded = jnp.broadcast_to(
-            warped_xyz[:, :, None, :], (B, N, K, 3)
-        )
-        pi_points_expanded = jnp.broadcast_to(
-            warped_points[:, :, None, :], (B, N, K, warped_points.shape[-1])
-        )
-
-        # position pair encoding input (ref :154)
-        pi_xyz_diff_concat = jnp.concatenate(
-            [pi_xyz_expanded, qi_xyz_grouped], axis=3
-        )
-
-        if self.corr_func == "elementwise_product":
-            pi_points_norm = _mean_std_normalize(pi_points_expanded)
-            qi_points_norm = _mean_std_normalize(qi_points_grouped)
-            pi_feat_diff = pi_points_norm * qi_points_norm
-        elif self.corr_func == "concat":
-            pi_points_norm = pi_points_expanded
-            qi_points_norm = qi_points_grouped
-            pi_feat_diff = jnp.concatenate(
-                [pi_points_expanded, qi_points_grouped], axis=-1
-            )
-        elif self.corr_func == "cosine":
-            pi_points_norm = pi_points_expanded / jnp.clip(
-                safe_norm(pi_points_expanded, axis=-1, keepdims=True), min=1e-12
-            )
-            qi_points_norm = qi_points_grouped / jnp.clip(
-                safe_norm(qi_points_grouped, axis=-1, keepdims=True), min=1e-12
-            )
-            pi_feat_diff = pi_points_norm * qi_points_norm
-        else:
-            raise NotImplementedError(self.corr_func)
-
-        pi_feat1_new = jnp.concatenate([pi_xyz_diff_concat, pi_feat_diff], axis=3)
-
-        if self.backward_validation:
-            # image -> lidar max response over all points (ref :178-190).
-            # Round-5 negative (BASELINE.md): algebraically factoring this
-            # max out of (B,N,K,C) via qi>=0 ? qi*max_n(pi) : qi*min_n(pi)
-            # measured SLOWER in situ (train step 67.3 -> 69.8/70.4 ms,
-            # fwd 22.5 -> 23.7 ms) — the product is materialized for
-            # pi_feat_diff anyway and XLA fuses this max into that pass,
-            # while the factored form costs an extra broadcast
-            # materialization at the concat. Same lesson as im2col: A/B
-            # inside the full step before routing a "cheaper" subgraph.
-            repeat_correlation = qi_points_norm * pi_points_norm
-            image_max_respond = jnp.max(repeat_correlation, axis=1, keepdims=True)
-            if self.backward_fc:
-                image_max_respond = PointwiseConv(
-                    image_max_respond.shape[-1], use_bn=True
-                )(image_max_respond, train)
-            image_max_respond = jnp.broadcast_to(
-                image_max_respond, (B, N) + image_max_respond.shape[2:]
-            )
-            pi_feat1_new = jnp.concatenate(
-                [pi_feat1_new, image_max_respond], axis=-1
+        pi_feat1_new = None
+        if (
+            not self.is_initializing()
+            and not train
+            and self.nsample_q <= 0
+            and self.corr_func == "elementwise_product"
+            and not self.max_cost
+            and not self.backward_fc
+            and self.dtype == jnp.bfloat16
+        ):
+            # fused eval pi-side: BN folded to affine at eval, the whole
+            # corr -> mlp1 -> (pi_encoding ++) -> mlp2 -> softmax-sum chain
+            # runs per-query in VMEM — no (B, N, K, C) HBM tensors
+            # (ops/cv_pallas.py; standard multi-device guard matrix).
+            # Training keeps the native path (train BN needs batch stats).
+            from i2pnet_tpu.nn.layers import _fused_mode
+            from i2pnet_tpu.ops.cv_pallas import (
+                fused_cv1_eval,
+                fused_cv1_eval_supported,
             )
 
-        pi_feat1_new = PointwiseMLP(self.mlp1, use_bn=True, dtype=self.dtype, name="mlp1_convs")(
-            pi_feat1_new, train
-        )
+            mode, dp_axis = _fused_mode("I2PNET_FUSED_CV", "auto", B)
+            if mode is not None and fused_cv1_eval_supported(
+                tuple(self.mlp1), tuple(self.mlp2), warped_points.shape[-1]
+            ):
+                v = self.variables
+                pi_feat1_new = fused_cv1_eval(
+                    warped_xyz, warped_points, f2_xyz, f2_points,
+                    v["params"], v["batch_stats"],
+                    bval=self.backward_validation,
+                    interpret=(mode == "interpret"), dp_axis=dp_axis,
+                )
 
-        pi_xyz_encoding = PointwiseConv(
-            self.mlp1[-1], use_bn=True, dtype=self.dtype, name="pi_encoding"
-        )(pi_xyz_diff_concat, train)
-
-        if not self.max_cost:
-            pi_concat = jnp.concatenate([pi_xyz_encoding, pi_feat1_new], axis=3)
-            pi_concat = PointwiseMLP(self.mlp2, use_bn=True, dtype=self.dtype, name="mlp2_convs")(
-                pi_concat, train
+        if pi_feat1_new is None:
+            K = qi_xyz_grouped.shape[2]
+            pi_xyz_expanded = jnp.broadcast_to(
+                warped_xyz[:, :, None, :], (B, N, K, 3)
             )
-            WQ = jax.nn.softmax(pi_concat, axis=2)
-            pi_feat1_new = jnp.sum(WQ * pi_feat1_new, axis=2)
-        else:
-            pi_feat1_new = jnp.max(pi_feat1_new, axis=2)
+            pi_points_expanded = jnp.broadcast_to(
+                warped_points[:, :, None, :], (B, N, K, warped_points.shape[-1])
+            )
+
+            # position pair encoding input (ref :154)
+            pi_xyz_diff_concat = jnp.concatenate(
+                [pi_xyz_expanded, qi_xyz_grouped], axis=3
+            )
+
+            if self.corr_func == "elementwise_product":
+                pi_points_norm = _mean_std_normalize(pi_points_expanded)
+                qi_points_norm = _mean_std_normalize(qi_points_grouped)
+                pi_feat_diff = pi_points_norm * qi_points_norm
+            elif self.corr_func == "concat":
+                pi_points_norm = pi_points_expanded
+                qi_points_norm = qi_points_grouped
+                pi_feat_diff = jnp.concatenate(
+                    [pi_points_expanded, qi_points_grouped], axis=-1
+                )
+            elif self.corr_func == "cosine":
+                pi_points_norm = pi_points_expanded / jnp.clip(
+                    safe_norm(pi_points_expanded, axis=-1, keepdims=True), min=1e-12
+                )
+                qi_points_norm = qi_points_grouped / jnp.clip(
+                    safe_norm(qi_points_grouped, axis=-1, keepdims=True), min=1e-12
+                )
+                pi_feat_diff = pi_points_norm * qi_points_norm
+            else:
+                raise NotImplementedError(self.corr_func)
+
+            pi_feat1_new = jnp.concatenate([pi_xyz_diff_concat, pi_feat_diff], axis=3)
+
+            if self.backward_validation:
+                # image -> lidar max response over all points (ref :178-190).
+                # Round-5 negative (BASELINE.md): algebraically factoring this
+                # max out of (B,N,K,C) via qi>=0 ? qi*max_n(pi) : qi*min_n(pi)
+                # measured SLOWER in situ (train step 67.3 -> 69.8/70.4 ms,
+                # fwd 22.5 -> 23.7 ms) — the product is materialized for
+                # pi_feat_diff anyway and XLA fuses this max into that pass,
+                # while the factored form costs an extra broadcast
+                # materialization at the concat. Same lesson as im2col: A/B
+                # inside the full step before routing a "cheaper" subgraph.
+                repeat_correlation = qi_points_norm * pi_points_norm
+                image_max_respond = jnp.max(repeat_correlation, axis=1, keepdims=True)
+                if self.backward_fc:
+                    image_max_respond = PointwiseConv(
+                        image_max_respond.shape[-1], use_bn=True
+                    )(image_max_respond, train)
+                image_max_respond = jnp.broadcast_to(
+                    image_max_respond, (B, N) + image_max_respond.shape[2:]
+                )
+                pi_feat1_new = jnp.concatenate(
+                    [pi_feat1_new, image_max_respond], axis=-1
+                )
+
+            pi_feat1_new = PointwiseMLP(self.mlp1, use_bn=True, dtype=self.dtype, name="mlp1_convs")(
+                pi_feat1_new, train
+            )
+
+            pi_xyz_encoding = PointwiseConv(
+                self.mlp1[-1], use_bn=True, dtype=self.dtype, name="pi_encoding"
+            )(pi_xyz_diff_concat, train)
+
+            if not self.max_cost:
+                pi_concat = jnp.concatenate([pi_xyz_encoding, pi_feat1_new], axis=3)
+                pi_concat = PointwiseMLP(self.mlp2, use_bn=True, dtype=self.dtype, name="mlp2_convs")(
+                    pi_concat, train
+                )
+                WQ = jax.nn.softmax(pi_concat, axis=2)
+                pi_feat1_new = jnp.sum(WQ * pi_feat1_new, axis=2)
+            else:
+                pi_feat1_new = jnp.max(pi_feat1_new, axis=2)
 
         # --- 3D neighborhood attention over lidar points (ref :213-240)
         pc_xyz_grouped, _, pc_points_grouped, _, _ = grouping(

@@ -66,6 +66,36 @@ def test_bn_pool_idx_lowers_at_stage1_wide_shape():
     _lower(_bn_pool_idx_grad(H, W, cout, stride), ym, sc, sh)
 
 
+def test_fused_cv1_lowers_at_production_shape():
+    # free-point cv1: B=8, N=256, K=480 (12x40 pixels), C=128,
+    # mlp1 (128,64,64), mlp2 (128,64), bval=True. The kernel is invoked
+    # directly with interpret=False so the export actually runs the
+    # Pallas -> Mosaic lowering (the module guard would pick interpret
+    # mode on this CPU host).
+    from i2pnet_tpu.nn.costvolume import CostVolume
+    from i2pnet_tpu.ops.cv_pallas import fused_cv1_eval
+
+    B, N, K, C = 8, 256, 480, 128
+    mod = CostVolume(nsample=4, nsample_q=-1, mlp1=(128, 64, 64),
+                     mlp2=(128, 64), backward_validation=True,
+                     dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    inputs = (
+        jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(B, K, 3)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(B, K, C)).astype(np.float32)),
+        jnp.ones((B, N, 1), jnp.float32),
+    )
+    variables = mod.init(jax.random.PRNGKey(0), *inputs)
+    _lower(
+        lambda v, pi, pf, qi, qf: fused_cv1_eval(
+            pi, pf, qi, qf, v["params"], v["batch_stats"], bval=True,
+            interpret=False),
+        variables, inputs[0], inputs[1], inputs[2], inputs[3],
+    )
+
+
 def test_bn_pool_idx_lowers_at_stage1_stride1_shape():
     H, W, cout, stride = 192, 640, 16, 1
     ym = jnp.zeros((1, H, W * cout), jnp.bfloat16)

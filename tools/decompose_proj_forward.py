@@ -52,7 +52,7 @@ def timeit(name, fn, *args, iters=20):
     return ms
 
 
-def main():
+def main(train=False):
     cfg = I2PNetProjConfig()
     model = I2PNetProj(cfg)
     rng = np.random.default_rng(0)
@@ -73,11 +73,18 @@ def main():
     params, bstats = variables["params"], variables["batch_stats"]
     cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
-    t_full = timeit(
-        "full_forward",
-        jax.jit(lambda v, r, l, w, i: model.apply(v, r, l, w, i, train=False)["out3"]),
-        variables, rgb, lidar, raw, intr,
-    )
+    print(f"train={train}", flush=True)
+    def full_fwd(v, r, l, w, i):
+        if train:
+            out, _ = model.apply(v, r, l, w, i, train=True,
+                                 mutable=["batch_stats"],
+                                 rngs={"dropout": jax.random.key(0)})
+        else:
+            out = model.apply(v, r, l, w, i, train=False)
+        return out["out3"]
+
+    t_full = timeit("full_forward", jax.jit(full_fwd),
+                    variables, rgb, lidar, raw, intr)
 
     # RGB encoder with the real params subtree
     enc = RGBEncoder(cfg.rgb_encoder_channels, dtype=cdt,
@@ -85,11 +92,12 @@ def main():
                      name="rgb_encoder")
 
     def rgb_fwd(p, bs, x):
-        outs = enc.apply(
-            {"params": p["rgb_encoder"],
-             "batch_stats": bs.get("rgb_encoder", {})},
-            x, False,
-        )
+        v = {"params": p["rgb_encoder"],
+             "batch_stats": bs.get("rgb_encoder", {})}
+        if train:
+            outs, _ = enc.apply(v, x, True, mutable=["batch_stats"])
+        else:
+            outs = enc.apply(v, x, False)
         return outs[-1]
 
     t_rgb = timeit("rgb_encoder", jax.jit(rgb_fwd), params, bstats, rgb)
@@ -131,22 +139,22 @@ def main():
         P1_raw, P1, LF1 = lv.apply(
             {"params": p["lidar_lv1"]}, raw_grid, xyz_grid, norm_grid,
             center_mode=True, using_intens=cfg.using_intens,
-            raw_feat_point=rf, train=False,
+            raw_feat_point=rf, train=train,
         )
         lv = make_lv(1, cfg.lidar_group_samples[1], mlps[1], "lidar_lv2")
         P2_raw, P2, LF2 = lv.apply(
             {"params": p["lidar_lv2"]}, P1_raw, P1, LF1,
-            raw_feat_point=rf, train=False,
+            raw_feat_point=rf, train=train,
         )
         lv = make_lv(2, cfg.lidar_group_samples[2], mlps[2], "lidar_lv3")
         P3_raw, P3, LF3 = lv.apply(
             {"params": p["lidar_lv3"]}, P2_raw, P2, LF2,
-            raw_feat_point=rf, train=False,
+            raw_feat_point=rf, train=train,
         )
         lv = make_lv(3, cfg.lidar_group_samples[3], mlps[3], "lidar_lv4")
         P4_raw, P4, LF4 = lv.apply(
             {"params": p["lidar_lv4"]}, P3_raw, P3, LF3,
-            raw_feat_point=rf, train=False,
+            raw_feat_point=rf, train=train,
         )
         return LF4
 
@@ -230,4 +238,4 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "levels":
         pyramid_prefixes()
     else:
-        main()
+        main(train="--train" in sys.argv)
