@@ -39,10 +39,11 @@ Tr: 0.0 -1.0 0.0 0.01 0.0 0.0 -1.0 -0.05 1.0 0.0 0.0 -0.3
 """
 
 
-def _run_cli(script, argv, timeout=1500):
+def _run_cli(script, argv, timeout=1500, extra_env=None):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_i2pnet"
+    env.update(extra_env or {})
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, script)] + argv,
         capture_output=True, text=True, timeout=timeout, cwd=REPO, env=env,
@@ -159,11 +160,14 @@ def test_cli_train_eval_proj(tmp_path):
         "--batch_size", "1", "--save_rate", "1",
     ])
     info = str(tmp_path / "info_test")
+    # --dp: multi-device eval fan-out over the 8 virtual CPU devices
+    # (Evaluator(mesh=...); batch 1 over 8 devices exercises the
+    # ragged-batch pad+trim path end-to-end through the CLI)
     _run_cli("evaluate.py", [
         "--dataset", "kd_corr_nolidar", "--network", "i2pnet_proj", "--tiny",
         "--root_path", root, "--model_dir", log,
-        "--log_dir", info, "--batch_size", "1",
-    ])
+        "--log_dir", info, "--batch_size", "1", "--dp",
+    ], extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
     assert os.path.exists(os.path.join(info, "prediction.txt"))
 
 
